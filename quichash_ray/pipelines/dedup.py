@@ -1,0 +1,150 @@
+"""Exact-duplicate detection — the quichash ``dedup`` / ``analyze`` commands,
+re-expressed as streaming Ray Data pipelines.
+
+Reference semantics (/root/reference/src/dedup.rs:182-230, 599-629): hash every
+file, group by digest, keep groups with >1 member, wasted = (count-1) * size
+(equal digest ⇒ equal content ⇒ equal size, dedup.rs:610), paths sorted inside
+a group, groups sorted by wasted desc. The reference folds everything into a
+driver-resident ``HashMap<hash, Vec<(path,size)>>`` (dedup.rs:440-446) — here
+that becomes a hash-partitioned ``groupby(digest)`` shuffle, which is the step
+that scales across nodes; nothing is ever materialized on the driver.
+
+Scale discipline: the fat ``content`` column is dropped before the shuffle
+(only keys/digests/sizes move), and duplicate *groups* are emitted as
+``(digest, cnt, size, wasted, rep)`` aggregate rows rather than materialized
+path lists — a mega-group (empty files, LICENSE boilerplate) stays one row.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from quichash_ray.stages.digest import add_digests
+
+
+def digest_table(
+    ds: Dataset,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("path",),
+    algorithm: str = "sha256",
+    batch_size: int = 1024,
+) -> Dataset:
+    """content table → (key_cols..., digest, size); content projected away."""
+    ds = add_digests(
+        ds, [algorithm], content_col=content_col, drop_content=True,
+        batch_size=batch_size,
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(
+            [("digest" if c == algorithm else c) for c in b.column_names]
+        )
+        keep = [*key_cols, "digest", "size"]
+        return b.select([c for c in keep if c in b.column_names])
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicate_groups(
+    digests: Dataset,
+    id_col: str = "path",
+    size_col: str = "size",
+) -> Dataset:
+    """digest table → one row per duplicate group.
+
+    Columns: ``digest, cnt, size, wasted, rep`` where ``rep`` is the minimal
+    ``id_col`` value (the canonical representative — the reference sorts paths
+    and keeps order, dedup.rs:612-613; at scale we keep only the minimum).
+    """
+    agg = digests.groupby("digest").aggregate(
+        Count(alias_name="cnt"),
+        Min(size_col, alias_name="size"),
+        Min(id_col, alias_name="rep"),
+    )
+    dupes = agg.filter(expr="cnt > 1")
+
+    def add_wasted(b: pa.Table) -> pa.Table:
+        wasted = pc.multiply(
+            pc.cast(pc.subtract(b["cnt"], 1), pa.int64()),
+            pc.cast(b["size"], pa.int64()),
+        )
+        return b.append_column("wasted", wasted)
+
+    return dupes.map_batches(add_wasted, batch_format="pyarrow")
+
+
+def dedup_keep_first(
+    digests: Dataset,
+    id_col: str = "path",
+) -> Dataset:
+    """Exact dedup: keep the minimal-``id_col`` row per digest (D1).
+
+    "first" = min(id) per group, deterministic under any parallelism —
+    the distributed analog of the reference's sorted-paths-first discipline.
+    """
+    reps = digests.groupby("digest").aggregate(Min(id_col, alias_name=id_col))
+    return reps
+
+
+def analyze_stats(
+    digests: Dataset,
+    size_col: str = "size",
+) -> Dataset:
+    """Single-row corpus statistics (analyze.rs:221-293 semantics).
+
+    Columns: total_files, total_bytes, unique_hashes, dup_groups, dup_files,
+    wasted_bytes. Invariant (analyze.rs:262):
+    ``unique_hashes = total_files - dup_files + dup_groups``.
+    """
+    per_digest = digests.groupby("digest").aggregate(
+        Count(alias_name="cnt"),
+        Min(size_col, alias_name="size"),
+    )
+
+    def to_stats(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"]
+        size = pc.cast(b["size"], pa.int64())
+        dup_mask = pc.greater(cnt, 1)
+        dup_cnt = pc.if_else(dup_mask, cnt, pa.scalar(0, cnt.type))
+        wasted = pc.if_else(
+            dup_mask,
+            pc.multiply(pc.cast(pc.subtract(cnt, 1), pa.int64()), size),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table(
+            {
+                "groups": pa.array([b.num_rows], pa.int64()),
+                "files": pa.array([pc.sum(cnt).as_py() or 0], pa.int64()),
+                "bytes": pa.array(
+                    [pc.sum(pc.multiply(pc.cast(cnt, pa.int64()), size)).as_py() or 0],
+                    pa.int64(),
+                ),
+                "dup_groups": pa.array(
+                    [pc.sum(pc.cast(dup_mask, pa.int64())).as_py() or 0], pa.int64()
+                ),
+                "dup_files": pa.array([pc.sum(dup_cnt).as_py() or 0], pa.int64()),
+                "wasted_bytes": pa.array([pc.sum(wasted).as_py() or 0], pa.int64()),
+            }
+        )
+
+    partials = per_digest.map_batches(to_stats, batch_format="pyarrow")
+    totals = partials.sum(
+        ["groups", "files", "bytes", "dup_groups", "dup_files", "wasted_bytes"]
+    )
+
+    def final_row() -> pa.Table:
+        return pa.table(
+            {
+                "total_files": pa.array([totals["sum(files)"]], pa.int64()),
+                "total_bytes": pa.array([totals["sum(bytes)"]], pa.int64()),
+                "unique_hashes": pa.array([totals["sum(groups)"]], pa.int64()),
+                "dup_groups": pa.array([totals["sum(dup_groups)"]], pa.int64()),
+                "dup_files": pa.array([totals["sum(dup_files)"]], pa.int64()),
+                "wasted_bytes": pa.array([totals["sum(wasted_bytes)"]], pa.int64()),
+            }
+        )
+
+    return final_row()

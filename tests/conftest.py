@@ -1,0 +1,35 @@
+"""Session-scoped Ray fixture — init ONCE per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def sf0001_dir():
+    return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(ray_session, tmp_path_factory):
+    """Small deterministic synthetic corpus (2000 rows, seed 42)."""
+    from quichash_ray.sources.corpus import write_corpus
+
+    out = str(tmp_path_factory.mktemp("corpus") / "t1")
+    return write_corpus(out, n_rows=2000, seed=42)
