@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the quichash_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship exact-dedup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names — the driver hashes values after sorting columns by
+name). Non-SQL-expressible ops (MinHash/LSH, SimHash, clustering) have no
+oracle entry → driver records rows-only checks; their correctness gates live
+in tests/ against brute-force oracles.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,340 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: dup-planted documents → sha256 digest → duplicate groups."""
+    from quichash_ray.pipelines.dedup import digest_table, duplicate_groups
+    from quichash_ray.pipelines.derived import dup_planted
+
+    planted = dup_planted(_docs(_SF0001))
+    digests = digest_table(
+        planted, content_col="text", key_cols=("path",), algorithm="sha256"
+    )
+    return duplicate_groups(digests, id_col="path")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dup_groups(sf_dir: str):
+    from quichash_ray.pipelines.dedup import digest_table, duplicate_groups
+    from quichash_ray.pipelines.derived import dup_planted
+
+    digests = digest_table(
+        dup_planted(_docs(sf_dir)), content_col="text", key_cols=("path",)
+    )
+    return duplicate_groups(digests, id_col="path")
+
+
+def _q_dedup_keep_first(sf_dir: str):
+    from quichash_ray.pipelines.dedup import dedup_keep_first, digest_table
+    from quichash_ray.pipelines.derived import dup_planted
+
+    digests = digest_table(
+        dup_planted(_docs(sf_dir)), content_col="text", key_cols=("path",)
+    )
+    return dedup_keep_first(digests, id_col="path")
+
+
+def _q_analyze_stats(sf_dir: str):
+    from quichash_ray.pipelines.dedup import analyze_stats, digest_table
+    from quichash_ray.pipelines.derived import dup_planted
+
+    digests = digest_table(
+        dup_planted(_docs(sf_dir)), content_col="text", key_cols=("path",)
+    )
+    return analyze_stats(digests)
+
+
+def _q_verify(sf_dir: str):
+    from quichash_ray.pipelines.dbops import verify_classify
+    from quichash_ray.pipelines.dedup import digest_table
+    from quichash_ray.pipelines.derived import dup_planted, verify_scenario
+
+    stored, current = verify_scenario(dup_planted(_docs(sf_dir)))
+    sd = digest_table(stored, content_col="text", key_cols=("path",))
+    cd = digest_table(current, content_col="text", key_cols=("path",))
+    return verify_classify(sd, cd)
+
+
+def _q_compare(sf_dir: str):
+    from quichash_ray.pipelines.dbops import compare_classify
+    from quichash_ray.pipelines.dedup import digest_table
+    from quichash_ray.pipelines.derived import compare_scenario
+
+    db1, db2 = compare_scenario(_docs(sf_dir))
+    d1 = digest_table(db1, content_col="text", key_cols=("path",))
+    d2 = digest_table(db2, content_col="text", key_cols=("path",))
+    return compare_classify(d1, d2)
+
+
+def _q_moved(sf_dir: str):
+    from quichash_ray.pipelines.dbops import compare_classify, moved_pairs
+    from quichash_ray.pipelines.dedup import digest_table
+    from quichash_ray.pipelines.derived import compare_scenario
+
+    db1, db2 = compare_scenario(_docs(sf_dir))
+    d1 = digest_table(db1, content_col="text", key_cols=("path",))
+    d2 = digest_table(db2, content_col="text", key_cols=("path",))
+    return moved_pairs(compare_classify(d1, d2))
+
+
+def _q_multi_digest(sf_dir: str):
+    """Multi-algorithm single-pass digest (hash.rs:802-911 analog)."""
+    import pyarrow as pa
+
+    from quichash_ray.stages.digest import add_digests
+
+    ds = add_digests(_docs(sf_dir), ["md5", "sha256"], content_col="text")
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "md5", "sha256"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_text_quality(sf_dir: str):
+    from quichash_ray.pipelines.textstats import text_quality
+
+    return text_quality(_docs(sf_dir))
+
+
+def _q_language_id(sf_dir: str):
+    from quichash_ray.pipelines.textstats import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str):
+    from quichash_ray.pipelines.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from quichash_ray.pipelines.ngram import jaccard_pairs
+
+    return jaccard_pairs(
+        _docs(sf_dir), k=5, threshold_num=1, threshold_den=2
+    )
+
+
+def _q_knn_topk(sf_dir: str):
+    from quichash_ray.pipelines.similarity import knn_topk
+
+    out = knn_topk(_emb(sf_dir), query_ids=list(range(10)), k=5)
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "vec_id", "rnk"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from quichash_ray.pipelines.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(_emb(sf_dir), threshold=0.4, a_limit=10**9)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dup_groups": _q_exact_dup_groups,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "analyze_stats": _q_analyze_stats,
+        "verify_classify": _q_verify,
+        "compare_classify": _q_compare,
+        "moved_files": _q_moved,
+        "multi_digest": _q_multi_digest,
+        "text_quality": _q_text_quality,
+        "language_id": _q_language_id,
+        "fingerprints": _q_fingerprints,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "knn_topk": _q_knn_topk,
+        "embedding_neardup": _q_embedding_neardup,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table name)
+# ---------------------------------------------------------------------------
+
+from quichash_ray.pipelines.derived import (  # noqa: E402
+    COMPARE_SCENARIO_SQL,
+    DUP_PLANTED_SQL,
+    VERIFY_SCENARIO_SQL,
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": f"""
+            WITH {DUP_PLANTED_SQL}
+            SELECT sha256(text) AS digest,
+                   count(*)::BIGINT AS cnt,
+                   min(strlen(text))::BIGINT AS size,
+                   min(path) AS rep,
+                   ((count(*) - 1) * min(strlen(text)))::BIGINT AS wasted
+            FROM d GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_keep_first": f"""
+            WITH {DUP_PLANTED_SQL}
+            SELECT sha256(text) AS digest, min(path) AS path
+            FROM d GROUP BY 1
+        """,
+        "analyze_stats": f"""
+            WITH {DUP_PLANTED_SQL},
+            per AS (
+                SELECT sha256(text) AS dg, count(*) AS cnt,
+                       min(strlen(text)) AS sz
+                FROM d GROUP BY 1
+            )
+            SELECT sum(cnt)::BIGINT AS total_files,
+                   sum(cnt * sz)::BIGINT AS total_bytes,
+                   count(*)::BIGINT AS unique_hashes,
+                   (count(*) FILTER (cnt > 1))::BIGINT AS dup_groups,
+                   (coalesce(sum(cnt) FILTER (cnt > 1), 0))::BIGINT AS dup_files,
+                   (coalesce(sum((cnt-1) * sz) FILTER (cnt > 1), 0))::BIGINT
+                       AS wasted_bytes
+            FROM per
+        """,
+        "verify_classify": f"""
+            WITH {DUP_PLANTED_SQL},
+            {VERIFY_SCENARIO_SQL}
+            SELECT coalesce(s.path, c.path) AS path,
+                   CASE WHEN s.digest IS NOT NULL AND c.digest IS NOT NULL
+                             AND s.digest = c.digest THEN 'match'
+                        WHEN s.digest IS NOT NULL AND c.digest IS NOT NULL
+                             THEN 'mismatch'
+                        WHEN s.digest IS NOT NULL THEN 'missing'
+                        ELSE 'new' END AS status,
+                   s.digest AS expected,
+                   c.digest AS actual
+            FROM stored s FULL OUTER JOIN current c ON s.path = c.path
+        """,
+        "compare_classify": f"""
+            WITH {COMPARE_SCENARIO_SQL}
+            SELECT coalesce(a.path, b.path) AS path,
+                   CASE WHEN a.digest IS NOT NULL AND b.digest IS NOT NULL
+                             AND a.digest = b.digest THEN 'unchanged'
+                        WHEN a.digest IS NOT NULL AND b.digest IS NOT NULL
+                             THEN 'changed'
+                        WHEN a.digest IS NOT NULL THEN 'removed'
+                        ELSE 'added' END AS status,
+                   a.digest AS digest1,
+                   b.digest AS digest2
+            FROM db1 a FULL OUTER JOIN db2 b ON a.path = b.path
+        """,
+        "moved_files": f"""
+            WITH {COMPARE_SCENARIO_SQL},
+            removed AS (
+                SELECT a.path, a.digest FROM db1 a
+                LEFT JOIN db2 b ON a.path = b.path WHERE b.path IS NULL
+            ),
+            added AS (
+                SELECT b.path, b.digest FROM db2 b
+                LEFT JOIN db1 a ON a.path = b.path WHERE a.path IS NULL
+            )
+            SELECT r.digest AS digest, r.path AS old_path, a.path AS new_path
+            FROM removed r JOIN added a ON r.digest = a.digest
+        """,
+        "multi_digest": """
+            SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT
+                       AS alpha_chars,
+                   len(regexp_extract_all(text, '[0-9]'))::BIGINT
+                       AS digit_chars
+            FROM documents
+        """,
+        "language_id": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b'))::BIGINT AS score_en,
+                    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b'))::BIGINT AS score_de,
+                    len(regexp_extract_all(text, '\b(le|la|les|et|est|une)\b'))::BIGINT AS score_fr
+                FROM documents
+            )
+            SELECT doc_id, score_en, score_de, score_fr,
+                   CASE WHEN score_fr > greatest(score_en, score_de) THEN 'fr'
+                        WHEN score_de > score_en THEN 'de'
+                        ELSE 'en' END AS pred_lang
+            FROM s
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 3, 1))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4] AS g
+                FROM idx
+            ),
+            totals AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*)::BIGINT AS shared
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b, p.shared,
+                   ta.n::BIGINT AS n_a, tb.n::BIGINT AS n_b
+            FROM pairs p
+            JOIN totals ta ON ta.doc_id = p.id_a
+            JOIN totals tb ON tb.doc_id = p.id_b
+            WHERE 2 * p.shared >= 1 * (ta.n + tb.n - p.shared)
+        """,
+        "knn_topk": """
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                           b.vec_id
+                   )::BIGINT AS rnk
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+            QUALIFY rnk <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+    }

@@ -1,0 +1,76 @@
+"""Text-analysis kernels — tokenization, quality counts, language ID,
+fingerprinting. All vectorized via pyarrow.compute RE2 kernels (the same regex
+engine DuckDB uses, so SQL oracles match exactly).
+
+These are the training-data-pipeline operators layered on the dedup engine:
+token counting, quality scoring, n-gram language ID, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_PATTERN = r"\S+"
+
+# marker stopwords per language; deterministic tie-break order en > de > fr
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|of|to|and|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+}
+_LANG_ORDER = ["en", "de", "fr"]
+
+_WS_RE = re.compile(r"\s+")
+
+
+def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace-delimited token count per row (vectorized RE2)."""
+    return pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
+
+
+def char_class_counts(
+    text: pa.ChunkedArray | pa.Array,
+) -> dict[str, pa.Array]:
+    """alpha/digit char counts + char length, all int64."""
+    return {
+        "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+        "alpha_chars": pc.cast(
+            pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64()
+        ),
+        "digit_chars": pc.cast(
+            pc.count_substring_regex(text, r"[0-9]"), pa.int64()
+        ),
+    }
+
+
+def lang_scores(text: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """Marker-stopword hit count per language (n-gram-heuristic lang ID)."""
+    return {
+        lang: pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(scores: dict[str, pa.Array]) -> pa.Array:
+    """argmax with deterministic order: en beats de beats fr on ties."""
+    best = scores[_LANG_ORDER[0]]
+    pred = pa.array(["en"] * len(best), pa.string())
+    for lang in _LANG_ORDER[1:]:
+        better = pc.greater(scores[lang], best)
+        pred = pc.if_else(better, pa.scalar(lang), pred)
+        best = pc.if_else(better, scores[lang], best)
+    return pred
+
+
+def normalize_for_fingerprint(s: str) -> str:
+    """lowercase + collapse whitespace + trim — the canonical form hashed by
+    the document fingerprint (rolling-hash analog; md5 of normal form)."""
+    return _WS_RE.sub(" ", s.lower()).strip()
+
+
+def tokenize(s: str) -> list[str]:
+    """Whitespace tokenization (shared with the shingling stage)."""
+    return s.split()

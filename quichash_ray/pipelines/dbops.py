@@ -1,0 +1,204 @@
+"""Verify / compare — the reference's DB ⋈ filesystem and DB ⋈ DB operations
+as distributed joins.
+
+- ``verify_classify``: full outer join of the *stored* digest table and the
+  *current* digest table on ``path``, classifying each row as
+  match / mismatch / missing / new — the classification matrix of
+  /root/reference/src/verify.rs:141-180 (parallel impl verify.rs:264-361).
+  The reference holds the DB in a driver HashMap and par-iters it; here both
+  sides are Datasets and the join is a hash-partitioned shuffle.
+
+- ``compare_classify``: the same outer join between two digest tables,
+  yielding unchanged / changed / removed / added
+  (/root/reference/src/compare.rs:434-475).
+
+- ``moved_pairs``: inner join of the removed and added splits on ``digest``,
+  pairing 1:1 per digest with path-sorted determinism
+  (/root/reference/src/compare.rs:477-528) — a ``groupby(digest).map_groups``
+  zip rather than a driver-side hash map.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def _outer_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    left_suffix: str,
+    right_suffix: str,
+    num_partitions: int,
+) -> Dataset:
+    return left.join(
+        right,
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=(on,),
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+def verify_classify(
+    stored: Dataset,
+    current: Dataset,
+    on: str = "path",
+    digest_col: str = "digest",
+    num_partitions: int = 16,
+) -> Dataset:
+    """→ (path, status, expected, actual); status ∈ match|mismatch|missing|new.
+
+    ``stored``/``current`` must each carry ``(on, digest_col)``. Mirrors the
+    verify classification (verify.rs:302-348): both sides present and digests
+    equal → match; present but different → mismatch (expected=stored digest,
+    actual=current digest); stored only → missing; current only → new.
+    """
+    joined = _outer_join(
+        stored.select_columns([on, digest_col]),
+        current.select_columns([on, digest_col]),
+        on,
+        "_stored",
+        "_cur",
+        num_partitions,
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        exp = b[digest_col + "_stored"]
+        act = b[digest_col + "_cur"]
+        has_exp = pc.is_valid(exp)
+        has_act = pc.is_valid(act)
+        status = pc.if_else(
+            pc.and_(has_exp, has_act),
+            pc.if_else(
+                pc.equal(exp, act),
+                pa.scalar("match"),
+                pa.scalar("mismatch"),
+            ),
+            pc.if_else(has_exp, pa.scalar("missing"), pa.scalar("new")),
+        )
+        return pa.table(
+            {
+                on: b[on],
+                "status": status,
+                "expected": exp,
+                "actual": act,
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def verify_report(classified: Dataset) -> dict:
+    """Aggregate counts — the VerifyReport analog (verify.rs:19-34)."""
+    from ray.data.aggregate import Count
+
+    counts = classified.groupby("status").aggregate(Count(alias_name="cnt"))
+    out = {"match": 0, "mismatch": 0, "missing": 0, "new": 0}
+    for row in counts.take_all():
+        out[row["status"]] = row["cnt"]
+    return out
+
+
+def compare_classify(
+    db1: Dataset,
+    db2: Dataset,
+    on: str = "path",
+    digest_col: str = "digest",
+    num_partitions: int = 16,
+) -> Dataset:
+    """→ (path, status, digest1, digest2); status ∈ unchanged|changed|removed|added.
+
+    compare.rs:434-475 semantics. Count invariants (compare.rs:985-996):
+    unchanged+changed+removed == |db1|; unchanged+changed+added == |db2|.
+    """
+    joined = _outer_join(
+        db1.select_columns([on, digest_col]),
+        db2.select_columns([on, digest_col]),
+        on,
+        "_1",
+        "_2",
+        num_partitions,
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        d1 = b[digest_col + "_1"]
+        d2 = b[digest_col + "_2"]
+        has1 = pc.is_valid(d1)
+        has2 = pc.is_valid(d2)
+        status = pc.if_else(
+            pc.and_(has1, has2),
+            pc.if_else(
+                pc.equal(d1, d2), pa.scalar("unchanged"), pa.scalar("changed")
+            ),
+            pc.if_else(has1, pa.scalar("removed"), pa.scalar("added")),
+        )
+        return pa.table(
+            {on: b[on], "status": status, "digest1": d1, "digest2": d2}
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def moved_pairs(classified: Dataset) -> Dataset:
+    """Moved-file detection (compare.rs:477-528): among removed×added rows
+    sharing a digest, pair 1:1 in path-sorted order. → (digest, old_path,
+    new_path). Groups are per-digest and tiny, so ``map_groups`` is safe;
+    pathological mega-digests are capped by pairing min(len) members.
+    """
+    rm_add = classified.filter(
+        expr="status == 'removed' or status == 'added'"
+    )
+
+    def to_sides(b: pa.Table) -> pa.Table:
+        digest = pc.if_else(
+            pc.equal(b["status"], pa.scalar("removed")),
+            b["digest1"],
+            b["digest2"],
+        )
+        return pa.table(
+            {"digest": digest, "path": b["path"], "status": b["status"]}
+        )
+
+    sides = rm_add.map_batches(to_sides, batch_format="pyarrow")
+
+    def pair(group: pd.DataFrame) -> pd.DataFrame:
+        removed = sorted(group.loc[group["status"] == "removed", "path"])
+        added = sorted(group.loc[group["status"] == "added", "path"])
+        n = min(len(removed), len(added))
+        if n == 0:
+            return pd.DataFrame(
+                {"digest": [], "old_path": [], "new_path": []}
+            ).astype({"digest": str, "old_path": str, "new_path": str})
+        return pd.DataFrame(
+            {
+                "digest": group["digest"].iloc[0],
+                "old_path": removed[:n],
+                "new_path": added[:n],
+            }
+        )
+
+    return sides.groupby("digest").map_groups(pair, batch_format="pandas")
+
+
+def compare_report(classified: Dataset, moved: Dataset | None = None) -> dict:
+    """CompareReport counts (compare.rs:43-57); moved pairs are subtracted
+    from removed/added per compare.rs:521-522."""
+    from ray.data.aggregate import Count
+
+    counts = {"unchanged": 0, "changed": 0, "removed": 0, "added": 0}
+    for row in (
+        classified.groupby("status")
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    ):
+        counts[row["status"]] = row["cnt"]
+    n_moved = moved.count() if moved is not None else 0
+    counts["moved"] = n_moved
+    counts["removed"] -= n_moved
+    counts["added"] -= n_moved
+    return counts

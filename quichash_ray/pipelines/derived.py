@@ -1,0 +1,206 @@
+"""Deterministic dup-planted derivations of the ``documents`` test table.
+
+The driver's ``documents`` table has no duplicate rows (500/5000 distinct
+texts), so to exercise dedup/verify/compare operators under the DuckDB oracle
+the engine and the SQL derive the SAME expanded table from it:
+
+    D(doc_id, copy, path, text):
+      copy 0: every document              path = 'doc_<id>_<copy>'
+      copy 1: doc_id % 5 == 0   (dup)
+      copy 2: doc_id % 25 == 0  (second dup → groups of size 3)
+
+Verify/compare scenarios mutate D deterministically (mod-7 text edits,
+mod-10/11 drops/adds, mod-13 renames) — every rule is mirrored literally in
+the oracle SQL in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+
+def _mod_eq(col: pa.ChunkedArray | pa.Array, m: int, v: int) -> pa.Array:
+    """doc_id % m == v as a boolean Arrow mask (pyarrow lacks a modulo kernel)."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.array(np.asarray(arr) % m == v)
+
+def _copies(b: pa.Table, text_col: str) -> pa.Table:
+    parts = []
+    for copy in (0, 1, 2):
+        if copy == 0:
+            sel = b
+        elif copy == 1:
+            sel = b.filter(_mod_eq(b["doc_id"], 5, 0))
+        else:
+            sel = b.filter(_mod_eq(b["doc_id"], 25, 0))
+        if sel.num_rows == 0:
+            continue
+        path = pc.binary_join_element_wise(
+            pa.scalar("doc"),
+            pc.cast(sel["doc_id"], pa.string()),
+            pa.scalar(str(copy)),
+            pa.scalar("_"),
+        )
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": sel["doc_id"],
+                    "copy": pa.array([copy] * sel.num_rows, pa.int64()),
+                    "path": path,
+                    "text": sel[text_col],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def dup_planted(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → D (see module docstring). Stateless row expansion."""
+    return ds.map_batches(
+        lambda b: _copies(b, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# The SQL CTE equivalent of ``dup_planted`` — prepended to oracle queries.
+DUP_PLANTED_SQL = """
+d AS (
+    SELECT doc_id, c.copy AS copy,
+           'doc_' || doc_id || '_' || c.copy AS path, text
+    FROM documents, (VALUES (0), (1), (2)) AS c(copy)
+    WHERE c.copy = 0
+       OR (c.copy = 1 AND doc_id % 5 = 0)
+       OR (c.copy = 2 AND doc_id % 25 = 0)
+)
+"""
+
+
+def verify_scenario(planted: Dataset) -> tuple[Dataset, Dataset]:
+    """→ (stored, current) text tables for the verify matrix:
+
+    - current drops rows with copy=1 AND doc_id%10==0        → missing
+    - current mutates text where copy=0 AND doc_id%7==0      → mismatch
+    - current adds copy=3 rows where doc_id%11==0            → new
+    """
+
+    def to_current(b: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.and_(
+                pc.equal(b["copy"], 1), _mod_eq(b["doc_id"], 10, 0)
+            )
+        )
+        cur = b.filter(keep)
+        mutate = pc.and_(
+            pc.equal(cur["copy"], 0), _mod_eq(cur["doc_id"], 7, 0)
+        )
+        text = pc.if_else(
+            mutate,
+            pc.binary_join_element_wise(cur["text"], pa.scalar("~MOD"), pa.scalar("")),
+            cur["text"],
+        )
+        cur = cur.set_column(cur.schema.get_field_index("text"), "text", text)
+        new_rows = b.filter(
+            pc.and_(
+                pc.equal(b["copy"], 0), _mod_eq(b["doc_id"], 11, 0)
+            )
+        )
+        if new_rows.num_rows:
+            new_path = pc.binary_join_element_wise(
+                pa.scalar("doc"),
+                pc.cast(new_rows["doc_id"], pa.string()),
+                pa.scalar("3"),
+                pa.scalar("_"),
+            )
+            new_text = pc.binary_join_element_wise(
+                new_rows["text"], pa.scalar("~NEW"), pa.scalar("")
+            )
+            cur = pa.concat_tables(
+                [
+                    cur,
+                    pa.table(
+                        {
+                            "doc_id": new_rows["doc_id"],
+                            "copy": pa.array([3] * new_rows.num_rows, pa.int64()),
+                            "path": new_path,
+                            "text": new_text,
+                        }
+                    ),
+                ]
+            )
+        return cur
+
+    current = planted.map_batches(
+        to_current, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return planted, current
+
+
+VERIFY_SCENARIO_SQL = """
+stored AS (SELECT path, sha256(text) AS digest FROM d),
+current AS (
+    SELECT path,
+           sha256(CASE WHEN copy = 0 AND doc_id % 7 = 0
+                       THEN text || '~MOD' ELSE text END) AS digest
+    FROM d
+    WHERE NOT (copy = 1 AND doc_id % 10 = 0)
+    UNION ALL
+    SELECT 'doc_' || doc_id || '_3' AS path, sha256(text || '~NEW') AS digest
+    FROM d WHERE copy = 0 AND doc_id % 11 = 0
+)
+"""
+
+
+def compare_scenario(docs: Dataset, text_col: str = "text") -> tuple[Dataset, Dataset]:
+    """→ (db1, db2): db1 = one row per document, path 'doc_<id>'.
+    db2: doc_id%17==0 dropped (removed); doc_id%7==0 text mutated (changed);
+    doc_id%13==0 (and not %7) path renamed 'moved_<id>' (moved)."""
+
+    def to_db1(b: pa.Table) -> pa.Table:
+        path = pc.binary_join_element_wise(
+            pa.scalar("doc"), pc.cast(b["doc_id"], pa.string()), pa.scalar("_")
+        )
+        return pa.table({"doc_id": b["doc_id"], "path": path, "text": b[text_col]})
+
+    def to_db2(b: pa.Table) -> pa.Table:
+        keep = pc.invert(_mod_eq(b["doc_id"], 17, 0))
+        s = b.filter(keep)
+        mutate = _mod_eq(s["doc_id"], 7, 0)
+        text = pc.if_else(
+            mutate,
+            pc.binary_join_element_wise(s[text_col], pa.scalar("~V2"), pa.scalar("")),
+            s[text_col],
+        )
+        rename = _mod_eq(s["doc_id"], 13, 0)
+        path = pc.if_else(
+            rename,
+            pc.binary_join_element_wise(
+                pa.scalar("moved"), pc.cast(s["doc_id"], pa.string()), pa.scalar("_")
+            ),
+            pc.binary_join_element_wise(
+                pa.scalar("doc"), pc.cast(s["doc_id"], pa.string()), pa.scalar("_")
+            ),
+        )
+        return pa.table({"doc_id": s["doc_id"], "path": path, "text": text})
+
+    return (
+        docs.map_batches(to_db1, batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(to_db2, batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+
+COMPARE_SCENARIO_SQL = """
+db1 AS (SELECT 'doc_' || doc_id AS path, sha256(text) AS digest FROM documents),
+db2 AS (
+    SELECT CASE WHEN doc_id % 13 = 0 THEN 'moved_' || doc_id
+                ELSE 'doc_' || doc_id END AS path,
+           sha256(CASE WHEN doc_id % 7 = 0 THEN text || '~V2' ELSE text END) AS digest
+    FROM documents
+    WHERE doc_id % 17 <> 0
+)
+"""

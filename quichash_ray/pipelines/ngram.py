@@ -1,0 +1,223 @@
+"""N-gram (shingle) Jaccard similarity — distributed, integer-exact.
+
+Pipeline shape (all Ray Data, no driver materialization):
+
+    docs → flat_map: distinct (id, gram) per doc        [stateless map]
+         → groupby(gram): emit candidate pairs          [shuffle #1]
+         → groupby(id_a, id_b): shared-gram counts      [shuffle #2]
+         → join per-doc gram totals (twice)             [shuffle #3]
+         → integer Jaccard filter: q·shared ≥ p·(nA+nB−shared)
+
+The Jaccard threshold is a rational p/q so the filter is integer-exact and
+matches the DuckDB oracle bit-for-bit (no float comparisons).
+
+Grams are 64-bit polynomial hashes of token crc32s (vectorized numpy) — at
+~10^5 grams/test corpus the collision probability is ~2^-30; the hash is
+deterministic across processes (no PYTHONHASHSEED hazard).
+
+Skew: a gram shared by more than ``gram_cap`` docs (boilerplate) is dropped
+before pair emission — the quadratic-blowup guard the reference has no answer
+for (its dedup HashMap is driver-resident, SURVEY §4 skew row). Dropped grams
+reduce ``shared`` symmetrically; at the default cap this only affects
+pathological boilerplate.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+_P = np.uint64(1099511628211)  # FNV-ish odd multiplier; wraps mod 2^64
+
+
+def gram_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of the k-token shingles of ``tokens``."""
+    n = len(tokens)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    t = np.array(
+        [zlib.crc32(tok.encode("utf-8")) for tok in tokens], dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        h = t[: n - k + 1].copy()
+        for j in range(1, k):
+            h = h * _P + t[j : n - k + 1 + j]
+    return np.unique(h)
+
+
+def shingle_table(
+    ds: Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """→ (id, gram) — one row per distinct shingle per document."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        grams_out: list[np.ndarray] = []
+        for rid, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            if text is None:
+                continue
+            g = gram_hashes(text.split(), k)
+            ids_out.extend([rid] * len(g))
+            grams_out.append(g)
+        grams = (
+            np.concatenate(grams_out) if grams_out else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "gram": pa.array(grams.view(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gram_totals(shingles: Dataset, id_col: str = "doc_id") -> Dataset:
+    """→ (id, n_grams) — distinct-shingle count per document."""
+    return shingles.groupby(id_col).aggregate(Count(alias_name="n_grams"))
+
+
+def candidate_pair_counts(
+    shingles: Dataset,
+    id_col: str = "doc_id",
+    gram_cap: int = 256,
+    num_bands: int = 32,
+) -> Dataset:
+    """→ (id_a, id_b, shared): co-occurring gram counts, id_a < id_b.
+
+    Manual hash-partition + local vectorized join: every gram lands in
+    exactly one of ``num_bands`` partitions (``gram % num_bands``), so a
+    per-band ``map_groups`` sees ALL rows of each of its grams and can do a
+    local numpy self-join. Per-group Python overhead is paid ``num_bands``
+    times, not once per gram (millions). A pair sharing grams across several
+    bands is summed by the final groupby.
+
+    ``gram_cap`` drops grams whose document frequency exceeds the cap (hot
+    boilerplate → quadratic pair blowup); df is exact within a band because a
+    gram never spans bands. ``num_bands`` is the shuffle-parallelism knob —
+    scale it with cluster size, and raise it further to salt band skew.
+    """
+
+    def add_band(b: pa.Table) -> pa.Table:
+        band = np.asarray(b["gram"]).astype(np.uint64) % np.uint64(num_bands)
+        return b.append_column("band", pa.array(band.astype(np.int64)))
+
+    banded = shingles.map_batches(
+        add_band, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # grams sorted; restrict to grams with 2..gram_cap docs, then emit
+        # all doc pairs per gram via vectorized segment arithmetic
+        grams = g["gram"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, grams))
+        grams, ids = grams[order], ids[order]
+        uniq, start, cnt = np.unique(
+            grams, return_index=True, return_counts=True
+        )
+        keep = (cnt >= 2) & (cnt <= gram_cap)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, c in zip(start[keep], cnt[keep]):
+            seg = ids[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                 "partial": np.empty(0, np.int64)}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        df = pd.DataFrame({"id_a": a, "id_b": b})
+        counts = df.value_counts(["id_a", "id_b"]).reset_index(name="partial")
+        return counts.astype(
+            {"id_a": np.int64, "id_b": np.int64, "partial": np.int64}
+        )
+
+    partials = banded.groupby("band").map_groups(
+        local_pairs, batch_format="pandas"
+    )
+    return partials.groupby(["id_a", "id_b"]).aggregate(
+        Sum("partial", alias_name="shared")
+    )
+
+
+def jaccard_pairs(
+    ds: Dataset,
+    k: int = 5,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_cap: int = 256,
+    num_partitions: int = 16,
+) -> Dataset:
+    """→ (id_a, id_b, shared, n_a, n_b) for pairs with Jaccard ≥ p/q.
+
+    J = shared / (n_a + n_b - shared) ≥ p/q  ⇔  q·shared ≥ p·(n_a+n_b-shared)
+    — evaluated in int64 on both engine and oracle.
+    """
+    import ray
+
+    shingles = shingle_table(ds, k, id_col, text_col)
+    totals = gram_totals(shingles, id_col)
+    counts = candidate_pair_counts(shingles, id_col, gram_cap)
+
+    # Per-doc totals are one small int per document — broadcast once via
+    # ray.put and look up inside map_batches. (Beyond ~10^8 docs swap this
+    # for two Dataset.joins on id_a / id_b; the broadcast is the fast path
+    # for every realistic partition of the corpus.)
+    totals_dict = {
+        r[id_col]: r["n_grams"] for r in totals.iter_rows()
+    }
+    totals_ref = ray.put(totals_dict)
+
+    def add_totals(b: pa.Table) -> pa.Table:
+        t = ray.get(totals_ref)
+        na = [t.get(x) for x in b["id_a"].to_pylist()]
+        nb = [t.get(x) for x in b["id_b"].to_pylist()]
+        return b.append_column(
+            "n_a", pa.array(na, pa.int64())
+        ).append_column("n_b", pa.array(nb, pa.int64()))
+
+    j2 = counts.map_batches(
+        add_totals, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    p, q = threshold_num, threshold_den
+
+    def flt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shared = pc.cast(b["shared"], pa.int64())
+        na = pc.cast(b["n_a"], pa.int64())
+        nb = pc.cast(b["n_b"], pa.int64())
+        lhs = pc.multiply(pa.scalar(q, pa.int64()), shared)
+        rhs = pc.multiply(
+            pa.scalar(p, pa.int64()),
+            pc.subtract(pc.add(na, nb), shared),
+        )
+        mask = pc.greater_equal(lhs, rhs)
+        out = pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "shared": shared,
+                "n_a": na,
+                "n_b": nb,
+            }
+        )
+        return out.filter(mask)
+
+    return j2.map_batches(flt, batch_format="pyarrow")
