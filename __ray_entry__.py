@@ -168,8 +168,94 @@ def _q_embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(_emb(sf_dir), threshold=0.4, a_limit=10**9)
 
 
+_CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
+
+
+def _corpus_ds(sf_dir: str):
+    """Deterministic synthetic source-code corpus sized by sf tier (the
+    BASELINE.json input_hint table; cached under /tmp per size)."""
+    import os
+
+    import ray.data
+
+    from quichash_ray.sources.corpus import write_corpus
+
+    tier = os.path.basename(sf_dir.rstrip("/"))
+    n = _CORPUS_ROWS.get(tier, 2000)
+    out = write_corpus(f"/tmp/quichash_ray_corpus/n{n}", n_rows=n, seed=42)
+    return ray.data.read_parquet(f"{out}/corpus"), f"{out}/truth"
+
+
+def _q_corpus_fuzzy_clusters(sf_dir: str):
+    """Full MinHash/LSH + SimHash + union-find clustering (north_star core).
+    Non-SQL-expressible → rows-only driver check; the recall gate lives in
+    tests/test_fuzzy.py against the truth sidecar."""
+    from quichash_ray.pipelines.fuzzy import fuzzy_dedup
+
+    corpus, _ = _corpus_ds(sf_dir)
+    return fuzzy_dedup(corpus)
+
+
+def _q_corpus_recall_report(sf_dir: str):
+    """One-row recall metrics vs the planted truth — the dup-pair recall
+    ≥ 0.99 evidence (BASELINE.json)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from quichash_ray.pipelines.fuzzy import fuzzy_dedup
+
+    from quichash_ray.config import FuzzyConfig
+    from quichash_ray.pipelines.ngram import gram_hashes
+
+    corpus, truth_dir = _corpus_ds(sf_dir)
+    pred = fuzzy_dedup(corpus).to_pandas()
+    clusters = dict(zip(pred["row_id"], pred["cluster_id"]))
+    truth = pq.read_table(truth_dir).to_pandas()
+    corpus_pd = corpus.select_columns(["row_id", "content"]).to_pandas()
+    cfg = FuzzyConfig()
+    shingles = {
+        rid: gram_hashes(text.split(), cfg.shingle_k)
+        for rid, text in zip(corpus_pd["row_id"], corpus_pd["content"])
+    }
+    from collections import defaultdict
+    from itertools import combinations
+
+    import numpy as np
+
+    by_cluster = defaultdict(list)
+    for rid, cid in zip(truth["row_id"], truth["cluster_id"]):
+        by_cluster[cid].append(rid)
+    req_all = found_all = req_elig = found_elig = 0
+    for members in by_cluster.values():
+        if len(members) < 2:
+            continue
+        for a, b in combinations(members, 2):
+            same = clusters.get(a) == clusters.get(b)
+            req_all += 1
+            found_all += same
+            sa, sb = shingles[a], shingles[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= cfg.jaccard_threshold:
+                req_elig += 1
+                found_elig += same
+    return pd.DataFrame(
+        {
+            "required_pairs": [req_elig],
+            "found_pairs": [found_elig],
+            # recall on pairs at/above the verify threshold — the ≥0.99 gate
+            "recall_bp": [int(round(10000 * found_elig / max(req_elig, 1)))],
+            "all_truth_pairs": [req_all],
+            "all_truth_found": [found_all],
+            "recall_all_bp": [int(round(10000 * found_all / max(req_all, 1)))],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
+        "corpus_recall_report": _q_corpus_recall_report,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "analyze_stats": _q_analyze_stats,

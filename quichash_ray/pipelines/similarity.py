@@ -155,7 +155,7 @@ def lsh_bucketed_neardup(
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         vecs = _emb_matrix(batch, emb_col)
-        rng = np.random.Generator(np.random.Philox(key=[seed]))
+        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
         planes = rng.standard_normal((vecs.shape[1], num_planes))
         bits = (vecs @ planes) >= 0
         bucket = np.zeros(len(vecs), dtype=np.int64)

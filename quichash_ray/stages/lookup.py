@@ -1,0 +1,107 @@
+"""Broadcast-vs-join lookups — the small-side-join discipline.
+
+``attach_lookup`` joins a (usually small) key→value mapping onto a Dataset.
+Below ``broadcast_limit`` rows the mapping is shipped ONCE via ``ray.put``
+and applied inside ``map_batches`` (zero shuffle — the correct plan whenever
+one side fits in a worker's heap, per the broadcast-small-sides rule).
+Above the limit it falls back to a hash-shuffle ``Dataset.join``.
+
+The join fallback also sidesteps a local-mode hazard worth documenting: Ray's
+hash-shuffle join allocates ``num_partitions`` aggregator actors; stacking
+several joins plus an actor-pool map stage into ONE streaming execution can
+demand more actors than the cluster has CPUs and stall. Broadcast lookups
+keep the plan actor-free; when you do need the join path at scale,
+``materialize()`` the boundary between actor-heavy stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def attach_lookup(
+    ds: Dataset,
+    mapping: Dataset,
+    key_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    broadcast_limit: int = 20_000_000,
+    num_partitions: int = 8,
+    default: int | None = None,
+    key_col_in_mapping: str | None = None,
+) -> Dataset:
+    """ds ⟕ mapping(key → value_col); adds ``out_col`` (int64).
+
+    ``key_col`` names the key in ``ds``; ``key_col_in_mapping`` names it in
+    ``mapping`` when the two differ."""
+    import ray
+
+    out_col = out_col or value_col
+    map_key = key_col_in_mapping or key_col
+    mapping = mapping.materialize()
+    if mapping.count() <= broadcast_limit:
+        pairs = mapping.select_columns([map_key, value_col]).take_all()
+        table = {r[map_key]: r[value_col] for r in pairs}
+        ref = ray.put(table)
+
+        def kernel(b: pa.Table) -> pa.Table:
+            t = ray.get(ref)
+            vals = [
+                t.get(k, default if default is not None else None)
+                for k in b[key_col].to_pylist()
+            ]
+            if out_col in b.column_names:
+                b = b.drop_columns([out_col])
+            return b.append_column(out_col, pa.array(vals, pa.int64()))
+
+        return ds.map_batches(
+            kernel, batch_format="pyarrow", zero_copy_batch=True
+        )
+    renamed = mapping.select_columns([map_key, value_col]).map_batches(
+        lambda b: b.rename_columns([key_col, out_col]),
+        batch_format="pyarrow",
+    )
+    return ds.join(
+        renamed,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(key_col,),
+    )
+
+
+def semi_join_broadcast(
+    ds: Dataset,
+    keys: Dataset,
+    key_col: str,
+    broadcast_limit: int = 50_000_000,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Keep ds rows whose ``key_col`` appears in ``keys`` (single column).
+
+    Broadcast path ships a numpy id-set once; fallback is an inner join.
+    """
+    import ray
+
+    keys = keys.materialize()
+    if keys.count() <= broadcast_limit:
+        arrs = [
+            np.asarray(b[key_col])
+            for b in keys.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        idset = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+        ref = ray.put(idset)
+
+        def kernel(b: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            col = np.asarray(b[key_col])
+            mask = np.isin(col, ids, assume_unique=False)
+            return b.filter(pa.array(mask))
+
+        return ds.map_batches(
+            kernel, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return ds.join(
+        keys, join_type="inner", num_partitions=num_partitions, on=(key_col,)
+    )
