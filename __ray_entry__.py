@@ -168,7 +168,7 @@ def _q_embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(_emb(sf_dir), threshold=0.4, a_limit=10**9)
 
 
-_CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 20000}
+_CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 50000}
 
 
 def _corpus_ds(sf_dir: str):

@@ -1,0 +1,203 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "files_per_sec": ..., "rows": {...}}
+
+Modes:
+  python bench.py                 # full suite at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # headline at N and 4N CPUs in fresh
+                                  # processes; prints throughputs + efficiency
+  python bench.py --single-run K  # internal: headline once at K cpus
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline corpus size by sf tier (generation is cached in /tmp, not timed)
+_CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 200000}
+
+
+def _corpus_dir() -> tuple[str, int]:
+    tier = os.path.basename(SF_DIR.rstrip("/"))
+    n = _CORPUS_ROWS.get(tier, 20000)
+    return f"/tmp/quichash_ray_corpus/n{n}", n
+
+
+def _prepare_corpus() -> tuple[str, int]:
+    from quichash_ray.sources.corpus import write_corpus
+
+    out, n = _corpus_dir()
+    write_corpus(out, n_rows=n, seed=42)
+    return out, n
+
+
+def run_headline() -> tuple[float, int]:
+    """Flagship: full fuzzy dedup (exact digests → MinHash/LSH + SimHash →
+    clustering) over the synthetic source-code corpus. Returns (sec, rows)."""
+    import ray.data
+
+    from quichash_ray.pipelines.fuzzy import fuzzy_dedup
+
+    out, n = _prepare_corpus()
+    ds = ray.data.read_parquet(f"{out}/corpus")
+    t0 = time.time()
+    res = fuzzy_dedup(ds)
+    rows = res.count()
+    return time.time() - t0, rows
+
+
+def run_suite() -> dict:
+    import ray.data
+
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    bench_queries = [
+        "exact_dup_groups",
+        "analyze_stats",
+        "verify_classify",
+        "compare_classify",
+        "multi_digest",
+        "text_quality",
+        "fingerprints",
+        "ngram_jaccard",
+        "knn_topk",
+        "embedding_neardup",
+    ]
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        res = queries[name](SF_DIR)
+        if hasattr(res, "count"):
+            rows[name] = res.count()
+        else:
+            rows[name] = len(res)
+        timings[name] = round(time.time() - t0, 3)
+    # fresh session for the headline so residue from the query sweep
+    # (lingering objects/actor pools) doesn't distort the timing
+    import ray
+
+    ray.shutdown()
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    hl_sec, hl_rows = run_headline()
+    timings["fuzzy_dedup_corpus"] = round(hl_sec, 3)
+    rows["fuzzy_dedup_corpus"] = hl_rows
+    return {
+        "metric": "fuzzy_dedup_corpus wall time (sec); per-query secs in 'queries'",
+        "value": round(hl_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "files_per_sec": round(hl_rows / hl_sec, 1) if hl_sec > 0 else None,
+        "rows": rows,
+    }
+
+
+def _warmup() -> None:
+    """Force the Ray worker pool to start before timing — a production
+    cluster is warm; cold-process startup is not part of job throughput."""
+    import ray.data
+
+    ray.data.range(100_000, override_num_blocks=64).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def _single_run(cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    _warmup()
+    sec, rows = run_headline()
+    print(json.dumps({"sec": sec, "rows": rows, "cpus": cpus}))
+    ray.shutdown()
+
+
+def _scaling() -> None:
+    """Same headline job at N and 4N CPUs in FRESH processes — the sandbox
+    proxy for N vs 4N nodes (BASELINE.md protocol)."""
+    _n = max(2, NUM_CPUS // 4)
+    results = {}
+    env = dict(os.environ)
+    for cpus in (_n, NUM_CPUS):
+        # warm the corpus cache first so generation isn't timed
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-run", str(cpus)],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[_n], results[NUM_CPUS]
+    tput_lo = lo["rows"] / lo["sec"]
+    tput_hi = hi["rows"] / hi["sec"]
+    ratio = NUM_CPUS / _n
+    eff = (tput_hi / tput_lo) / ratio
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (throughput_4N/throughput_N)/4",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sf": os.path.basename(SF_DIR.rstrip("/")),
+                "num_cpus_low": _n,
+                "num_cpus_high": NUM_CPUS,
+                "files_per_sec_low": round(tput_lo, 1),
+                "files_per_sec_high": round(tput_hi, 1),
+                "sec_low": round(lo["sec"], 3),
+                "sec_high": round(hi["sec"], 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--single-run" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
+        _single_run(cpus)
+        return
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    result = run_suite()
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -35,7 +35,11 @@ from ray.data import Dataset
 from ray.data.aggregate import Min
 
 from quichash_ray.config import FuzzyConfig
-from quichash_ray.stages.minhash import SignatureActor, band_rows
+from quichash_ray.stages.minhash import (
+    SignatureActor,
+    band_rows,
+    make_signature_fn,
+)
 from quichash_ray.stages.unionfind import connected_components
 
 
@@ -83,7 +87,9 @@ def exact_stage(
     rep_ids = membership.filter(expr=f"{id_col} == rep").select_columns(
         [id_col]
     )
-    reps = semi_join_broadcast(corpus, rep_ids, id_col).materialize()
+    # the broadcast filter is actor-free, so it fuses into the downstream
+    # signature actor-pool execution without a barrier
+    reps = semi_join_broadcast(corpus, rep_ids, id_col)
     return membership, reps
 
 
@@ -149,13 +155,13 @@ def lsh_candidate_pairs(
             .reset_index(drop=True)
         )
 
-    pairs = parted.groupby("part").map_groups(
+    # pairs are deduplicated locally per partition; a pair surfacing from
+    # several bands may appear a handful of times — downstream verification
+    # and union-find are idempotent to duplicate edges, so a global distinct
+    # shuffle would cost more than the duplicates it removes
+    return parted.groupby("part").map_groups(
         local_pairs, batch_format="pandas"
     )
-    # global distinct (a pair can surface from several bands/partitions)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("id_a", alias_name="_d")
-    ).drop_columns(["_d"])
 
 
 def simhash_candidate_pairs(
@@ -193,32 +199,189 @@ def simhash_candidate_pairs(
             }
         )
 
-    chunks = signatures.select_columns([id_col, "simhash"]).map_batches(
-        chunk_rows, batch_format="pyarrow", zero_copy_batch=True
+    num_parts = 32
+
+    def add_part(b: pa.Table) -> pa.Table:
+        cv = np.asarray(b["chunk_val"], np.int64).view(np.uint64)
+        ci = np.asarray(b["chunk_id"], np.int64).astype(np.uint64)
+        part = (
+            (cv * np.uint64(0x9E3779B97F4A7C15)) ^ ci
+        ) % np.uint64(num_parts)
+        return b.append_column("part", pa.array(part.astype(np.int64)))
+
+    chunks = (
+        signatures.select_columns([id_col, "simhash"])
+        .map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     )
 
+    _LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
     def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.sort_values(id_col)
-        ids = gg[id_col].to_numpy().astype(np.int64)
-        sims = gg["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        if len(ids) < 2 or len(ids) > bucket_cap:
+        # one call per hash partition (not per bucket): segment the sorted
+        # (chunk_id, chunk_val) runs and emit Hamming-verified pairs per run
+        ids = g[id_col].to_numpy().astype(np.int64)
+        cid = g["chunk_id"].to_numpy().astype(np.int64)
+        cval = g["chunk_val"].to_numpy().astype(np.int64)
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, cval, cid))
+        ids, cid, cval, sims = ids[order], cid[order], cval[order], sims[order]
+        starts = np.flatnonzero(
+            np.concatenate(
+                ([True], (cid[1:] != cid[:-1]) | (cval[1:] != cval[:-1]))
+            )
+        )
+        counts = np.diff(np.concatenate((starts, [len(ids)])))
+        out_a, out_b = [], []
+        for s, c in zip(starts, counts):
+            if c < 2 or c > bucket_cap:
+                continue
+            seg_ids = ids[s : s + c]
+            seg_sims = sims[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            x = seg_sims[ia] ^ seg_sims[ib]
+            ham = _LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+            keep = (ham <= radius) & (seg_ids[ia] != seg_ids[ib])
+            out_a.append(seg_ids[ia][keep])
+            out_b.append(seg_ids[ib][keep])
+        if not out_a:
             return pd.DataFrame(
                 {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sims[ia] ^ sims[ib]
-        # vectorized popcount via byte-LUT
-        lut = np.array([bin(i).count("1") for i in range(256)], np.uint8)
-        ham = lut[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-        keep = (ham <= radius) & (ids[ia] != ids[ib])
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep]})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).drop_duplicates().reset_index(drop=True)
 
-    pairs = chunks.groupby(["chunk_id", "chunk_val"]).map_groups(
+    return chunks.groupby("part").map_groups(
         local_pairs, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("id_a", alias_name="_d")
-    ).drop_columns(["_d"])
+
+
+def combined_candidate_pairs(
+    signatures: Dataset,
+    cfg: FuzzyConfig | None = None,
+    id_col: str = "row_id",
+    num_parts: int = 32,
+    bucket_cap: int = 512,
+    use_simhash: bool = True,
+) -> Dataset:
+    """LSH band buckets AND SimHash pigeonhole buckets in ONE shuffle.
+
+    Bucket rows carry (id, kind, k1, k2, simhash): kind 0 = LSH band
+    (k1=band_id, k2=band_key), kind 1 = simhash chunk (k1=chunk_id,
+    k2=chunk_val). One hash-partitioned groupby then segments each bucket
+    locally — halves the AllToAll count vs running the two stages apart.
+    """
+    cfg = cfg or FuzzyConfig()
+    b_, r_ = cfg.lsh_bands, cfg.lsh_rows
+    n_chunks = cfg.simhash_chunks
+    bits = cfg.simhash_bits // n_chunks
+    radius = cfg.simhash_radius
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        mh = batch["minhash"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        n = len(mh)
+        sig = (
+            np.asarray(mh.flatten(), dtype=np.int64)
+            .view(np.uint64)
+            .reshape(n, b_ * r_)
+        )
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sims = np.asarray(batch["simhash"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            keys = np.zeros((n, b_), dtype=np.uint64)
+            for band in range(b_):
+                h = np.full(n, np.uint64(band * 2 + 1), np.uint64)
+                for j in range(r_):
+                    h = (h * mult) ^ sig[:, band * r_ + j]
+                keys[:, band] = h * mult
+        out_id = [np.repeat(ids, b_)]
+        out_kind = [np.zeros(n * b_, np.int64)]
+        out_k1 = [np.tile(np.arange(b_, dtype=np.int64), n)]
+        out_k2 = [keys.reshape(-1).view(np.int64)]
+        out_sim = [np.zeros(n * b_, np.int64)]
+        if use_simhash:
+            mask = np.uint64((1 << bits) - 1)
+            out_id.append(np.repeat(ids, n_chunks))
+            out_kind.append(np.ones(n * n_chunks, np.int64))
+            out_k1.append(np.tile(np.arange(n_chunks, dtype=np.int64), n))
+            vals = np.empty(n * n_chunks, dtype=np.int64)
+            for c in range(n_chunks):
+                vals[c::n_chunks] = (
+                    (sims >> np.uint64(c * bits)) & mask
+                ).astype(np.int64)
+            out_k2.append(vals)
+            out_sim.append(np.repeat(sims.view(np.int64), n_chunks))
+        # pack (kind, k1, k2) into one 64-bit bucket key — narrower shuffle
+        # rows and a single-column sort key in the local join
+        kindv = np.concatenate(out_kind).astype(np.uint64)
+        k1v = np.concatenate(out_k1).astype(np.uint64)
+        k2v = np.concatenate(out_k2).view(np.uint64)
+        with np.errstate(over="ignore"):
+            key = (
+                (k2v * mult)
+                ^ (k1v * np.uint64(0xD1B54A32D192ED03))
+                ^ (kindv * np.uint64(0xEB44ACCAB455D165))
+            )
+        part = key % np.uint64(num_parts)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "kind": pa.array(kindv.astype(np.int64), pa.int64()),
+                "key": pa.array(key.view(np.int64), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_sim), pa.int64()),
+                "part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    bucketed = signatures.select_columns(
+        [id_col, "minhash", "simhash"]
+    ).map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    _LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        kind = g["kind"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy().astype(np.int64)
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, key))
+        ids, kind, key, sims = ids[order], kind[order], key[order], sims[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], key[1:] != key[:-1]))
+        )
+        counts = np.diff(np.concatenate((starts, [len(ids)])))
+        out_a, out_b = [], []
+        for s, c in zip(starts, counts):
+            if c < 2 or c > bucket_cap:
+                continue
+            seg_ids = ids[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            if kind[s] == 0:
+                keep = seg_ids[ia] != seg_ids[ib]
+            else:
+                seg_sims = sims[s : s + c]
+                x = seg_sims[ia] ^ seg_sims[ib]
+                ham = _LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+                keep = (ham <= radius) & (seg_ids[ia] != seg_ids[ib])
+            out_a.append(seg_ids[ia][keep])
+            out_b.append(seg_ids[ib][keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates(
+        ).reset_index(drop=True)
+
+    return bucketed.groupby("part").map_groups(
+        local_pairs, batch_format="pandas"
+    )
 
 
 def verify_pairs_jaccard(
@@ -232,35 +395,128 @@ def verify_pairs_jaccard(
     lookup is a broadcast (`ray.put` once) below ~10^6 reps; beyond that the
     same verification runs as two joins candidate⋈signatures — candidates
     after LSH are sparse, so either side stays small."""
+    import os
+    import time as _time
+
     import ray
 
+    _prof = bool(os.environ.get("QUICHASH_PROFILE"))
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _prof:
+            print(
+                f"[verify-profile] {label}: {_time.time() - _t0:.2f}s",
+                flush=True,
+            )
+            _t0 = _time.time()
+
     cfg = cfg or FuzzyConfig()
-    shingle_map = {}
-    for row in signatures.select_columns([id_col, "shingles"]).iter_rows():
-        shingle_map[row[id_col]] = np.asarray(row["shingles"], np.int64)
-    ref = ray.put(shingle_map)
+    # pull shingle sets ONLY for ids that occur in candidate pairs — the
+    # broadcast scales with the candidate set (sparse after LSH), not the
+    # corpus. The candidate-id collection and the filtered scan are both
+    # distributed; only the final dict assembly runs on the driver.
+    candidates = candidates.materialize()
+    _mark(f"candidates_materialize({candidates.count()})")
+    id_chunks0: list[np.ndarray] = []
+    for b in candidates.iter_batches(batch_format="pyarrow", batch_size=None):
+        id_chunks0.append(np.asarray(b["id_a"], dtype=np.int64))
+        id_chunks0.append(np.asarray(b["id_b"], dtype=np.int64))
+    id_arr = (
+        np.unique(np.concatenate(id_chunks0))
+        if id_chunks0
+        else np.empty(0, np.int64)
+    )
+    id_ref = ray.put(id_arr)
+    _mark(f"cand_ids({len(id_arr)})")
+
+    def filter_sigs(b: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        mask = np.isin(np.asarray(b[id_col]), wanted)
+        return b.filter(pa.array(mask))
+
+    # assemble a flat CSR-style lookup (sorted ids, offsets, values) — three
+    # numpy arrays pickle/transfer near-zero-copy, unlike a dict of 10^4+
+    # small arrays whose per-entry pickling dominated this stage
+    id_chunks: list[np.ndarray] = []
+    val_chunks: list[np.ndarray] = []
+    len_chunks: list[np.ndarray] = []
+    filtered = signatures.select_columns([id_col, "shingles"]).map_batches(
+        filter_sigs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in filtered.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        col = b["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        id_chunks.append(ids)
+        val_chunks.append(np.asarray(col.values, dtype=np.int64))
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        len_chunks.append(np.diff(offs))
+    if id_chunks:
+        all_ids = np.concatenate(id_chunks)
+        all_lens = np.concatenate(len_chunks)
+        all_vals = np.concatenate(val_chunks)
+        order = np.argsort(all_ids, kind="stable")
+        # reorder the ragged value runs to match sorted ids — vectorized
+        # gather: absolute source index = run start + offset-within-run
+        starts = np.concatenate(([0], np.cumsum(all_lens)))[:-1]
+        lens_o = all_lens[order]
+        new_starts = np.concatenate(([0], np.cumsum(lens_o)))[:-1]
+        total = int(lens_o.sum())
+        if total:
+            within = np.arange(total) - np.repeat(new_starts, lens_o)
+            idx = np.repeat(starts[order], lens_o) + within
+            sorted_vals = all_vals[idx]
+        else:
+            sorted_vals = np.empty(0, np.int64)
+        sorted_ids = all_ids[order]
+        sorted_offs = np.concatenate(([0], np.cumsum(lens_o)))
+    else:
+        sorted_ids = np.empty(0, np.int64)
+        sorted_offs = np.zeros(1, np.int64)
+        sorted_vals = np.empty(0, np.int64)
+    ref = ray.put((sorted_ids, sorted_offs, sorted_vals))
+    _mark(f"shingle_map({len(sorted_ids)})")
     thr = cfg.jaccard_threshold
 
     def verify(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        ids_a = b["id_a"].to_pylist()
-        ids_b = b["id_b"].to_pylist()
-        keep, jac = [], []
-        for x, y in zip(ids_a, ids_b):
-            sa, sb = m.get(x), m.get(y)
-            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                keep.append(False)
-                jac.append(0.0)
+        ids_m, offs_m, vals_m = ray.get(ref)
+        ids_a = np.asarray(b["id_a"], dtype=np.int64)
+        ids_b = np.asarray(b["id_b"], dtype=np.int64)
+        # batch-local dedup: a near-dup pair surfaces from up to b bands;
+        # duplicates surviving across batches are harmless (CC idempotent)
+        pairs_arr = np.stack([ids_a, ids_b], axis=1)
+        pairs_arr = np.unique(pairs_arr, axis=0)
+        ids_a, ids_b = pairs_arr[:, 0], pairs_arr[:, 1]
+        pos_a = np.searchsorted(ids_m, ids_a)
+        pos_b = np.searchsorted(ids_m, ids_b)
+        keep = np.zeros(len(ids_a), dtype=bool)
+        jac = np.zeros(len(ids_a), dtype=np.float64)
+        n_m = len(ids_m)
+        for i in range(len(ids_a)):
+            pa_i, pb_i = pos_a[i], pos_b[i]
+            if (
+                pa_i >= n_m
+                or pb_i >= n_m
+                or ids_m[pa_i] != ids_a[i]
+                or ids_m[pb_i] != ids_b[i]
+            ):
+                continue
+            sa = vals_m[offs_m[pa_i] : offs_m[pa_i + 1]]
+            sb = vals_m[offs_m[pb_i] : offs_m[pb_i + 1]]
+            if len(sa) == 0 or len(sb) == 0:
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             j = inter / union if union else 0.0
-            jac.append(j)
-            keep.append(j >= thr)
+            jac[i] = j
+            keep[i] = j >= thr
         out = pa.table(
             {
-                "id_a": b["id_a"],
-                "id_b": b["id_b"],
+                "id_a": pa.array(ids_a, pa.int64()),
+                "id_b": pa.array(ids_b, pa.int64()),
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
@@ -284,43 +540,48 @@ def fuzzy_dedup(
     cluster_id = min row id of the near-dup cluster; rows with no duplicate
     relationships cluster alone.
     """
+    import os
+    import time as _time
+
+    _prof = bool(os.environ.get("QUICHASH_PROFILE"))
+    _t = [_time.time()]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            now = _time.time()
+            print(f"[fuzzy-profile] {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     cfg = cfg or FuzzyConfig()
     membership, reps = exact_stage(corpus, id_col, text_col)
     membership = membership.materialize()
+    _mark("exact_stage")
 
+    # stateless tasks with per-worker-process cached state: the permutation
+    # table is cheap to build, so task scheduling on the warm worker pool
+    # beats actor-pool spin-up; swap in SignatureActor via
+    # map_batches(SignatureActor, concurrency=N) for heavy per-actor state
     signatures = reps.map_batches(
-        SignatureActor,
-        fn_constructor_kwargs={
-            "cfg": cfg,
-            "id_col": id_col,
-            "text_col": text_col,
-            "keep_shingles": True,
-        },
+        make_signature_fn(cfg, id_col, text_col, keep_shingles=True),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
-        concurrency=4,
     ).materialize()
+    _mark("signatures")
 
-    lsh_pairs = lsh_candidate_pairs(signatures, cfg, id_col)
-    candidates = lsh_pairs
-    if use_simhash:
-        candidates = candidates.union(
-            simhash_candidate_pairs(signatures, cfg, id_col)
-        )
-        candidates = candidates.groupby(["id_a", "id_b"]).aggregate(
-            Min("id_a", alias_name="_d")
-        ).drop_columns(["_d"])
+    candidates = combined_candidate_pairs(
+        signatures, cfg, id_col, use_simhash=use_simhash
+    )
 
-    # materialize at the fan-out: candidates/verified are consumed more
-    # than once downstream (count + iter/join) — without a checkpoint the
-    # whole LSH/simhash lineage would re-execute per consumption
-    candidates = candidates.materialize()
+    # verified is consumed more than once downstream (count + CC), so it
+    # checkpoints; candidates flow straight into verification (consumed once)
     verified = verify_pairs_jaccard(
         candidates, signatures, cfg, id_col
     ).select_columns(["id_a", "id_b"]).materialize()
+    _mark("candidates+verify")
 
     labels = connected_components(verified, method=cc_method)
+    _mark("connected_components")
 
     # rep-level labels back to members (broadcast lookup; join fallback at
     # scale); reps without any fuzzy edge cluster alone under their own id

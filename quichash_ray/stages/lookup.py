@@ -42,19 +42,32 @@ def attach_lookup(
     map_key = key_col_in_mapping or key_col
     mapping = mapping.materialize()
     if mapping.count() <= broadcast_limit:
-        pairs = mapping.select_columns([map_key, value_col]).take_all()
-        table = {r[map_key]: r[value_col] for r in pairs}
-        ref = ray.put(table)
+        kc, vc = [], []
+        for b in mapping.select_columns([map_key, value_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        ):
+            kc.append(np.asarray(b[map_key], dtype=np.int64))
+            vc.append(np.asarray(b[value_col], dtype=np.int64))
+        keys_arr = np.concatenate(kc) if kc else np.empty(0, np.int64)
+        vals_arr = np.concatenate(vc) if vc else np.empty(0, np.int64)
+        order = np.argsort(keys_arr, kind="stable")
+        ref = ray.put((keys_arr[order], vals_arr[order]))
 
         def kernel(b: pa.Table) -> pa.Table:
-            t = ray.get(ref)
-            vals = [
-                t.get(k, default if default is not None else None)
-                for k in b[key_col].to_pylist()
-            ]
+            km, vm = ray.get(ref)
+            col = np.asarray(b[key_col], dtype=np.int64)
+            pos = np.searchsorted(km, col)
+            pos_c = np.clip(pos, 0, max(len(km) - 1, 0))
+            hit = (len(km) > 0) & (km[pos_c] == col)
+            out = np.where(hit, vm[pos_c], default if default is not None else -1)
+            arr = pa.array(out.astype(np.int64), pa.int64())
+            if default is None:
+                arr = pa.compute.if_else(
+                    pa.array(hit), arr, pa.scalar(None, pa.int64())
+                )
             if out_col in b.column_names:
                 b = b.drop_columns([out_col])
-            return b.append_column(out_col, pa.array(vals, pa.int64()))
+            return b.append_column(out_col, arr)
 
         return ds.map_batches(
             kernel, batch_format="pyarrow", zero_copy_batch=True

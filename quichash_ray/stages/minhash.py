@@ -100,6 +100,35 @@ class SignatureActor:
         return pa.table(cols)
 
 
+_WORKER_CACHE: dict[tuple, "SignatureActor"] = {}
+
+
+def make_signature_fn(
+    cfg: FuzzyConfig | None = None,
+    id_col: str = "row_id",
+    text_col: str = "content",
+    keep_shingles: bool = False,
+):
+    """Stateless-task variant of :class:`SignatureActor`: a plain function
+    whose per-worker state (the permutation table) is built once per worker
+    PROCESS via a module-global cache — the same build-once amortization as
+    the actor pool, without paying actor-process spin-up (one new process
+    per pool slot) on short jobs. Use the actor-pool class when the state is
+    heavy (models, indexes); use this when it is cheap to build but worth
+    caching."""
+    cfg = cfg or FuzzyConfig()
+    key = (cfg, id_col, text_col, keep_shingles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        actor = _WORKER_CACHE.get(key)
+        if actor is None:
+            actor = SignatureActor(key[0], key[1], key[2], key[3])
+            _WORKER_CACHE[key] = actor
+        return actor(batch)
+
+    return fn
+
+
 def band_rows(
     signatures, cfg: FuzzyConfig | None = None, id_col: str = "row_id"
 ):

@@ -1,0 +1,172 @@
+"""Suffix-based substring-dedup stage (north_star component; FIXTURES.md §7:
+clusters ≤ 64 members, min span 50 tokens).
+
+Finds near-identical token *spans* shared between members of a candidate
+cluster — catching partial duplication (vendored file sections, copied
+function bodies) that whole-document Jaccard misses.
+
+Mechanics per cluster (a ``groupby(cluster_id).map_groups`` stage — groups
+are small by construction, so per-group work is bounded):
+
+- tokenize each member once (token ids = crc32, as in shingling);
+- for each pair, the *longest common token span* is found by binary search
+  over span length with rolling-hash set intersection — O(n log n) per pair,
+  the hash-based equivalent of a suffix-array LCS query, with the candidate
+  span re-checked token-by-token to rule out hash-collision false positives;
+- pairs whose span ≥ ``min_span_tokens`` are emitted as
+  (cluster_id, id_a, id_b, span_tokens).
+
+Only rows already in multi-member candidate clusters carry content into this
+stage's shuffle — the one place the engine shuffles content at all, bounded
+by the duplicate fraction, never the full corpus.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from quichash_ray.config import FuzzyConfig
+
+_P = np.uint64(1099511628211)
+
+
+def _token_ids(text: str) -> np.ndarray:
+    return np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in text.split()], dtype=np.uint64
+    )
+
+
+def _span_hashes(t: np.ndarray, L: int) -> np.ndarray:
+    """Rolling polynomial hashes of every L-token window (vectorized)."""
+    n = len(t)
+    if n < L:
+        return np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        h = t[: n - L + 1].copy()
+        for j in range(1, L):
+            h = h * _P + t[j : n - L + 1 + j]
+    return h
+
+
+def _common_span_at(ta: np.ndarray, tb: np.ndarray, L: int) -> tuple[int, int] | None:
+    """Return (start_a, start_b) of an exact common L-token span, or None."""
+    ha = _span_hashes(ta, L)
+    hb = _span_hashes(tb, L)
+    if len(ha) == 0 or len(hb) == 0:
+        return None
+    common, ia_idx, ib_idx = np.intersect1d(ha, hb, return_indices=True)
+    for ia, ib in zip(ia_idx, ib_idx):
+        if np.array_equal(ta[ia : ia + L], tb[ib : ib + L]):
+            return int(ia), int(ib)
+    return None
+
+
+def longest_common_span(ta: np.ndarray, tb: np.ndarray) -> int:
+    """Length (tokens) of the longest exact common token span."""
+    lo, hi = 0, min(len(ta), len(tb))
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _common_span_at(ta, tb, mid) is not None:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def substring_spans(
+    clustered: Dataset,
+    cfg: FuzzyConfig | None = None,
+    id_col: str = "row_id",
+    text_col: str = "content",
+    cluster_col: str = "cluster_id",
+) -> Dataset:
+    """(id, cluster_id, content) rows → (cluster_id, id_a, id_b, span_tokens)
+    for member pairs sharing a span ≥ cfg.suffix_min_span_tokens.
+
+    Input should already be filtered to multi-member clusters (see
+    ``substring_stage``)."""
+    cfg = cfg or FuzzyConfig()
+    max_members = cfg.suffix_max_cluster
+    min_span = cfg.suffix_min_span_tokens
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"cluster_id": [], "id_a": [], "id_b": [], "span_tokens": []}
+        if len(g) < 2 or len(g) > max_members:
+            return pd.DataFrame(out).astype(
+                {
+                    "cluster_id": np.int64,
+                    "id_a": np.int64,
+                    "id_b": np.int64,
+                    "span_tokens": np.int64,
+                }
+            )
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        toks = [_token_ids(t or "") for t in g[text_col]]
+        cid = int(g[cluster_col].iloc[0])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                span = longest_common_span(toks[i], toks[j])
+                if span >= min_span:
+                    out["cluster_id"].append(cid)
+                    out["id_a"].append(int(ids[i]))
+                    out["id_b"].append(int(ids[j]))
+                    out["span_tokens"].append(span)
+        return pd.DataFrame(out).astype(
+            {
+                "cluster_id": np.int64,
+                "id_a": np.int64,
+                "id_b": np.int64,
+                "span_tokens": np.int64,
+            }
+        )
+
+    return clustered.groupby(cluster_col).map_groups(
+        per_cluster, batch_format="pandas"
+    )
+
+
+def substring_stage(
+    corpus: Dataset,
+    clusters: Dataset,
+    cfg: FuzzyConfig | None = None,
+    id_col: str = "row_id",
+    text_col: str = "content",
+) -> Dataset:
+    """corpus + (row_id, cluster_id) → span pairs for multi-member clusters.
+
+    Cluster labels attach via broadcast lookup; only multi-member-cluster
+    rows (the duplicate fraction) proceed into the content-carrying shuffle.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from quichash_ray.stages.lookup import attach_lookup, semi_join_broadcast
+
+    cfg = cfg or FuzzyConfig()
+    clusters = clusters.materialize()
+    sizes = clusters.groupby("cluster_id").aggregate(Count(alias_name="sz"))
+    multi = sizes.filter(
+        expr=f"sz >= 2 and sz <= {cfg.suffix_max_cluster}"
+    ).select_columns(["cluster_id"])
+    members = semi_join_broadcast(clusters, multi, "cluster_id")
+    wanted = members.select_columns([id_col])
+    rows = semi_join_broadcast(
+        corpus.select_columns([id_col, text_col]), wanted, id_col
+    )
+    labeled = attach_lookup(
+        rows,
+        members.select_columns([id_col, "cluster_id"]),
+        key_col=id_col,
+        value_col="cluster_id",
+    )
+    labeled = labeled.map_batches(
+        lambda b: b.filter(pa.compute.is_valid(b["cluster_id"])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return substring_spans(labeled, cfg, id_col, text_col)
