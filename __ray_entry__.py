@@ -252,10 +252,61 @@ def _q_corpus_recall_report(sf_dir: str):
     )
 
 
+def _q_corpus_substring_spans(sf_dir: str):
+    """Suffix substring-dedup stage over fuzzy clusters (FIXTURES.md §7):
+    longest common token spans ≥ 50 tokens within candidate clusters.
+    Rows-only (iterative/stateful; pytest oracle in tests/test_suffix.py)."""
+    from quichash_ray.pipelines.fuzzy import fuzzy_dedup
+    from quichash_ray.stages.suffix import substring_stage
+
+    corpus, _ = _corpus_ds(sf_dir)
+    clusters = fuzzy_dedup(corpus).select_columns(["row_id", "cluster_id"])
+    return substring_stage(corpus, clusters)
+
+
+def _q_multimodal_image_features(sf_dir: str):
+    """Actor-pool media feature extraction (decode stubbed — codec libs not
+    in container; Ray plumbing real). Rows-only."""
+    from quichash_ray.stages.multimodal import image_features, synthetic_media
+
+    out = image_features(synthetic_media(200, seed=42), out_dim=32)
+    import pyarrow as pa
+
+    def drop_list(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = b["features"]
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        mat = np.asarray(feats.values, dtype=np.float32).reshape(len(feats), -1)
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "kind": b["kind"],
+                "feat_dim": pa.array([mat.shape[1]] * len(feats), pa.int64()),
+            }
+        )
+
+    return out.map_batches(drop_list, batch_format="pyarrow")
+
+
+def _q_lsh_embedding_neardup(sf_dir: str):
+    """Random-hyperplane LSH-bucketed cosine near-dup (the ANN scale path).
+    Rows-only: bucketing trades recall for scan cost, so no exact oracle."""
+    from quichash_ray.pipelines.similarity import lsh_bucketed_neardup
+
+    return lsh_bucketed_neardup(
+        _emb(sf_dir), threshold=0.4, num_planes=4, seed=42
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
         "corpus_recall_report": _q_corpus_recall_report,
+        "corpus_substring_spans": _q_corpus_substring_spans,
+        "multimodal_image_features": _q_multimodal_image_features,
+        "lsh_embedding_neardup": _q_lsh_embedding_neardup,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "analyze_stats": _q_analyze_stats,

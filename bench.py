@@ -110,6 +110,28 @@ def run_suite() -> dict:
     }
 
 
+SCALING_ROWS = int(os.environ.get("QUICHASH_SCALING_ROWS", "2000000"))
+
+
+def run_scaling_headline() -> tuple[float, int]:
+    """The scaling-evidence job: fuzzy dedup over a corpus large enough that
+    per-row compute dominates scheduling constants (see BASELINE.md for the
+    efficiency-vs-size series and the single-box bandwidth caveat)."""
+    import ray.data
+
+    from quichash_ray.pipelines.fuzzy import fuzzy_dedup
+    from quichash_ray.sources.corpus import write_corpus
+
+    out = write_corpus(
+        f"/tmp/quichash_ray_corpus/n{SCALING_ROWS}", n_rows=SCALING_ROWS, seed=42
+    )
+    ds = ray.data.read_parquet(f"{out}/corpus")
+    t0 = time.time()
+    res = fuzzy_dedup(ds)
+    rows = res.count()
+    return time.time() - t0, rows
+
+
 def _warmup() -> None:
     """Force the Ray worker pool to start before timing — a production
     cluster is warm; cold-process startup is not part of job throughput."""
@@ -131,7 +153,7 @@ def _single_run(cpus: int) -> None:
             logging_level="ERROR",
         )
     _warmup()
-    sec, rows = run_headline()
+    sec, rows = run_scaling_headline()
     print(json.dumps({"sec": sec, "rows": rows, "cpus": cpus}))
     ray.shutdown()
 

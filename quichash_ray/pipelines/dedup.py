@@ -48,6 +48,34 @@ def digest_table(
     return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _banded_digest_agg(digests: Dataset, agg_fn, num_parts: int = 64) -> Dataset:
+    """Partition by ``crc32(digest) % P`` then aggregate per partition with a
+    vectorized pandas groupby — a digest never spans partitions, so the
+    partition-local aggregate is globally exact. Avoids a full sort of the
+    64-char digest strings (Ray's groupby is sort-based), which stops
+    scaling well beyond ~10^6 rows."""
+    import zlib
+
+    import numpy as np
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = np.fromiter(
+            (
+                zlib.crc32(d.encode()) % num_parts
+                for d in b["digest"].to_pylist()
+            ),
+            np.int64,
+            b.num_rows,
+        )
+        return b.append_column("part", pa.array(part))
+
+    return (
+        digests.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(agg_fn, batch_format="pandas")
+    )
+
+
 def duplicate_groups(
     digests: Dataset,
     id_col: str = "path",
@@ -59,21 +87,21 @@ def duplicate_groups(
     ``id_col`` value (the canonical representative — the reference sorts paths
     and keeps order, dedup.rs:612-613; at scale we keep only the minimum).
     """
-    agg = digests.groupby("digest").aggregate(
-        Count(alias_name="cnt"),
-        Min(size_col, alias_name="size"),
-        Min(id_col, alias_name="rep"),
-    )
-    dupes = agg.filter(expr="cnt > 1")
+    import pandas as pd
 
-    def add_wasted(b: pa.Table) -> pa.Table:
-        wasted = pc.multiply(
-            pc.cast(pc.subtract(b["cnt"], 1), pa.int64()),
-            pc.cast(b["size"], pa.int64()),
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("digest", sort=False)
+            .agg(cnt=(id_col, "size"), size=(size_col, "min"), rep=(id_col, "min"))
+            .reset_index()
         )
-        return b.append_column("wasted", wasted)
+        out = out[out["cnt"] > 1]
+        out["cnt"] = out["cnt"].astype("int64")
+        out["size"] = out["size"].astype("int64")
+        out["wasted"] = (out["cnt"] - 1) * out["size"]
+        return out[["digest", "cnt", "size", "rep", "wasted"]]
 
-    return dupes.map_batches(add_wasted, batch_format="pyarrow")
+    return _banded_digest_agg(digests, agg)
 
 
 def dedup_keep_first(
@@ -85,8 +113,14 @@ def dedup_keep_first(
     "first" = min(id) per group, deterministic under any parallelism —
     the distributed analog of the reference's sorted-paths-first discipline.
     """
-    reps = digests.groupby("digest").aggregate(Min(id_col, alias_name=id_col))
-    return reps
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("digest", sort=False)[id_col].min().reset_index()
+        )
+
+    return _banded_digest_agg(digests, agg)
 
 
 def analyze_stats(
@@ -99,10 +133,18 @@ def analyze_stats(
     wasted_bytes. Invariant (analyze.rs:262):
     ``unique_hashes = total_files - dup_files + dup_groups``.
     """
-    per_digest = digests.groupby("digest").aggregate(
-        Count(alias_name="cnt"),
-        Min(size_col, alias_name="size"),
-    )
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("digest", sort=False)
+            .agg(cnt=("digest", "size"), size=(size_col, "min"))
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    per_digest = _banded_digest_agg(digests, agg)
 
     def to_stats(b: pa.Table) -> pa.Table:
         cnt = b["cnt"]

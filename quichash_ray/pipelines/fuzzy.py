@@ -379,8 +379,31 @@ def combined_candidate_pairs(
         return pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates(
         ).reset_index(drop=True)
 
-    return bucketed.groupby("part").map_groups(
+    pairs = bucketed.groupby("part").map_groups(
         local_pairs, batch_format="pandas"
+    )
+
+    # global distinct: a near-dup pair surfaces from up to b bands landing in
+    # different partitions; at large candidate counts one int-pair shuffle is
+    # cheaper than 4-16x redundant verification downstream. Banded again: a
+    # pair hashes to exactly one partition, dedup is a vectorized
+    # drop_duplicates per partition.
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["id_a"], np.int64).view(np.uint64)
+        bb = np.asarray(b["id_b"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * mult) ^ (bb * np.uint64(0xD1B54A32D192ED03))) % (
+                np.uint64(num_parts)
+            )
+        return b.append_column("dpart", pa.array(part.astype(np.int64)))
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["id_a", "id_b"]].drop_duplicates().reset_index(drop=True)
+
+    return (
+        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dpart")
+        .map_groups(drop_dups, batch_format="pandas")
     )
 
 
@@ -389,6 +412,8 @@ def verify_pairs_jaccard(
     signatures: Dataset,
     cfg: FuzzyConfig | None = None,
     id_col: str = "row_id",
+    content: Dataset | None = None,
+    text_col: str = "content",
 ) -> Dataset:
     """Exact-Jaccard verification of candidate pairs against the true shingle
     sets (kept on the signature table as ``shingles``). The shingle-set
@@ -436,31 +461,98 @@ def verify_pairs_jaccard(
         mask = np.isin(np.asarray(b[id_col]), wanted)
         return b.filter(pa.array(mask))
 
-    # assemble a flat CSR-style lookup (sorted ids, offsets, values) — three
-    # numpy arrays pickle/transfer near-zero-copy, unlike a dict of 10^4+
-    # small arrays whose per-entry pickling dominated this stage
+    # assemble flat CSR-style lookups (sorted ids, offsets, values) in K
+    # id-hash shards, each built by a REMOTE task over the materialized
+    # blocks — the driver never touches shingle bytes, the build
+    # parallelizes, and same-node ray.get of the numpy shards is zero-copy
+    # from plasma
     id_chunks: list[np.ndarray] = []
     val_chunks: list[np.ndarray] = []
     len_chunks: list[np.ndarray] = []
-    filtered = signatures.select_columns([id_col, "shingles"]).map_batches(
-        filter_sigs, batch_format="pyarrow", zero_copy_batch=True
-    )
-    for b in filtered.iter_batches(batch_format="pyarrow", batch_size=None):
-        ids = np.asarray(b[id_col], dtype=np.int64)
-        col = b["shingles"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        id_chunks.append(ids)
-        val_chunks.append(np.asarray(col.values, dtype=np.int64))
-        offs = np.asarray(col.offsets, dtype=np.int64)
-        len_chunks.append(np.diff(offs))
-    if id_chunks:
-        all_ids = np.concatenate(id_chunks)
-        all_lens = np.concatenate(len_chunks)
-        all_vals = np.concatenate(val_chunks)
+    if content is not None:
+        # recompute shingles for candidate ids straight from content — avoids
+        # materializing a corpus-wide shingle column on the signature table
+        from quichash_ray.pipelines.ngram import gram_hashes as _gh
+
+        k = cfg.shingle_k
+
+        def shingles_from_content(b: pa.Table) -> pa.Table:
+            wanted = ray.get(id_ref)
+            mask = np.isin(np.asarray(b[id_col]), wanted)
+            sel = b.filter(pa.array(mask))
+            ids_out, lists_out = [], []
+            for rid, text in zip(
+                sel[id_col].to_pylist(), sel[text_col].to_pylist()
+            ):
+                ids_out.append(rid)
+                lists_out.append(
+                    _gh((text or "").split(), k).view(np.int64)
+                )
+            flat = (
+                np.concatenate(lists_out) if lists_out else np.empty(0, np.int64)
+            )
+            offs = np.concatenate(
+                ([0], np.cumsum([len(x) for x in lists_out]))
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(ids_out, pa.int64()),
+                    "shingles": pa.LargeListArray.from_arrays(
+                        pa.array(offs, pa.int64()), pa.array(flat, pa.int64())
+                    ),
+                }
+            )
+
+        filtered = content.select_columns([id_col, text_col]).map_batches(
+            shingles_from_content, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        filtered = signatures.select_columns([id_col, "shingles"]).map_batches(
+            filter_sigs, batch_format="pyarrow", zero_copy_batch=True
+        )
+    n_shards = 8
+    filtered = filtered.materialize()
+    block_refs = filtered.to_arrow_refs()
+
+    @ray.remote
+    def build_shard(shard: int, refs: list):
+        import ray as _ray
+
+        tables = _ray.get(refs)
+        ids_c, vals_c, lens_c = [], [], []
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            ids = np.asarray(t[id_col], dtype=np.int64)
+            col = t["shingles"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = np.asarray(col.values, dtype=np.int64)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            lens = np.diff(offs)
+            mask = (ids % n_shards) == shard
+            if not mask.any():
+                continue
+            sel = np.flatnonzero(mask)
+            ids_c.append(ids[sel])
+            lens_sel = lens[sel]
+            lens_c.append(lens_sel)
+            total = int(lens_sel.sum())
+            if total:
+                ns = np.concatenate(([0], np.cumsum(lens_sel)))[:-1]
+                within = np.arange(total) - np.repeat(ns, lens_sel)
+                idx = np.repeat(offs[:-1][sel], lens_sel) + within
+                vals_c.append(vals[idx])
+        if not ids_c:
+            return (
+                np.empty(0, np.int64),
+                np.zeros(1, np.int64),
+                np.empty(0, np.int64),
+            )
+        all_ids = np.concatenate(ids_c)
+        all_lens = np.concatenate(lens_c)
+        all_vals = np.concatenate(vals_c) if vals_c else np.empty(0, np.int64)
         order = np.argsort(all_ids, kind="stable")
-        # reorder the ragged value runs to match sorted ids — vectorized
-        # gather: absolute source index = run start + offset-within-run
         starts = np.concatenate(([0], np.cumsum(all_lens)))[:-1]
         lens_o = all_lens[order]
         new_starts = np.concatenate(([0], np.cumsum(lens_o)))[:-1]
@@ -471,18 +563,20 @@ def verify_pairs_jaccard(
             sorted_vals = all_vals[idx]
         else:
             sorted_vals = np.empty(0, np.int64)
-        sorted_ids = all_ids[order]
-        sorted_offs = np.concatenate(([0], np.cumsum(lens_o)))
-    else:
-        sorted_ids = np.empty(0, np.int64)
-        sorted_offs = np.zeros(1, np.int64)
-        sorted_vals = np.empty(0, np.int64)
-    ref = ray.put((sorted_ids, sorted_offs, sorted_vals))
-    _mark(f"shingle_map({len(sorted_ids)})")
+        return (
+            all_ids[order],
+            np.concatenate(([0], np.cumsum(lens_o))),
+            sorted_vals,
+        )
+
+    shard_refs = [
+        build_shard.remote(s, block_refs) for s in range(n_shards)
+    ]
+    _mark(f"shingle_shards_launched({len(id_arr)})")
     thr = cfg.jaccard_threshold
 
     def verify(b: pa.Table) -> pa.Table:
-        ids_m, offs_m, vals_m = ray.get(ref)
+        shards = ray.get(shard_refs)
         ids_a = np.asarray(b["id_a"], dtype=np.int64)
         ids_b = np.asarray(b["id_b"], dtype=np.int64)
         # batch-local dedup: a near-dup pair surfaces from up to b bands;
@@ -490,23 +584,20 @@ def verify_pairs_jaccard(
         pairs_arr = np.stack([ids_a, ids_b], axis=1)
         pairs_arr = np.unique(pairs_arr, axis=0)
         ids_a, ids_b = pairs_arr[:, 0], pairs_arr[:, 1]
-        pos_a = np.searchsorted(ids_m, ids_a)
-        pos_b = np.searchsorted(ids_m, ids_b)
+
+        def lookup(x: int):
+            ids_m, offs_m, vals_m = shards[x % n_shards]
+            p = np.searchsorted(ids_m, x)
+            if p >= len(ids_m) or ids_m[p] != x:
+                return None
+            return vals_m[offs_m[p] : offs_m[p + 1]]
+
         keep = np.zeros(len(ids_a), dtype=bool)
         jac = np.zeros(len(ids_a), dtype=np.float64)
-        n_m = len(ids_m)
         for i in range(len(ids_a)):
-            pa_i, pb_i = pos_a[i], pos_b[i]
-            if (
-                pa_i >= n_m
-                or pb_i >= n_m
-                or ids_m[pa_i] != ids_a[i]
-                or ids_m[pb_i] != ids_b[i]
-            ):
-                continue
-            sa = vals_m[offs_m[pa_i] : offs_m[pa_i + 1]]
-            sb = vals_m[offs_m[pb_i] : offs_m[pb_i + 1]]
-            if len(sa) == 0 or len(sb) == 0:
+            sa = lookup(int(ids_a[i]))
+            sb = lookup(int(ids_b[i]))
+            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
@@ -534,6 +625,7 @@ def fuzzy_dedup(
     text_col: str = "content",
     use_simhash: bool = True,
     cc_method: str = "auto",
+    verify_mode: str = "auto",
 ) -> Dataset:
     """Full pipeline → (row_id, cluster_id, rep).
 
@@ -561,8 +653,25 @@ def fuzzy_dedup(
     # table is cheap to build, so task scheduling on the warm worker pool
     # beats actor-pool spin-up; swap in SignatureActor via
     # map_batches(SignatureActor, concurrency=N) for heavy per-actor state
+    # decide the verification strategy up front: the broadcast verifier's
+    # footprint is bounded by CANDIDATE ids (not the corpus), and Ray's
+    # sort-based shuffle of list columns makes the co-partitioned path
+    # ~10x slower until the candidate shingle set stops fitting in worker
+    # heap (~5M docs); only the distributed tier-2 needs shingles stored
+    # on the signature table.
+    if verify_mode == "auto":
+        verify_mode = (
+            "distributed" if corpus.count() > 10_000_000 else "broadcast"
+        )
+
+    # shingle lists are NOT materialized in broadcast mode (they'd be ~4x
+    # the minhash bytes); exact verification recomputes them for candidate
+    # ids only, straight from rep content
     signatures = reps.map_batches(
-        make_signature_fn(cfg, id_col, text_col, keep_shingles=True),
+        make_signature_fn(
+            cfg, id_col, text_col,
+            keep_shingles=(verify_mode == "distributed"),
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
@@ -575,9 +684,17 @@ def fuzzy_dedup(
 
     # verified is consumed more than once downstream (count + CC), so it
     # checkpoints; candidates flow straight into verification (consumed once)
-    verified = verify_pairs_jaccard(
-        candidates, signatures, cfg, id_col
-    ).select_columns(["id_a", "id_b"]).materialize()
+    if verify_mode == "distributed":
+        from quichash_ray.stages.pairverify import verify_pairs_distributed
+
+        verified = verify_pairs_distributed(
+            candidates.materialize(), signatures, cfg, id_col
+        ).materialize()
+    else:
+        verified = verify_pairs_jaccard(
+            candidates, signatures, cfg, id_col,
+            content=reps, text_col=text_col,
+        ).select_columns(["id_a", "id_b"]).materialize()
     _mark("candidates+verify")
 
     labels = connected_components(verified, method=cc_method)

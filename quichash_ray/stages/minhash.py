@@ -54,13 +54,12 @@ class SignatureActor:
         self._bit_cols = np.arange(64, dtype=np.uint64)
 
     def _signatures(self, shingles: np.ndarray) -> tuple[np.ndarray, int]:
-        """→ (minhash signature uint64[num_perms], simhash uint64)."""
+        """Single-doc path (kept for tests) — → (sig uint64[perms], simhash)."""
         if len(shingles) == 0:
             return np.full(self.cfg.num_perms, np.iinfo(np.uint64).max, np.uint64), 0
         with np.errstate(over="ignore"):
             hashed = self.a[:, None] * shingles[None, :] + self.b[:, None]
         sig = hashed.min(axis=1)
-        # simhash: per-bit majority over shingle hashes
         bits = (shingles[:, None] >> self._bit_cols[None, :]) & np.uint64(1)
         votes = 2 * bits.astype(np.int64).sum(axis=0) - len(shingles)
         sim = np.uint64(0)
@@ -70,32 +69,69 @@ class SignatureActor:
         return sig, int(sim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized: all docs' shingles concatenate into one array;
+        per-doc MinHash minima come from ``np.minimum.reduceat`` per
+        permutation and SimHash bit votes from ``np.add.reduceat`` — no
+        per-row numpy dispatch in the hot loop."""
         cfg = self.cfg
-        ids, sigs, sims, counts, shingle_lists = [], [], [], [], []
+        ids: list[int] = []
+        sh_arrays: list[np.ndarray] = []
         for rid, text in zip(
             batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
         ):
             if text is None:
                 continue
-            sh = gram_hashes(text.split(), cfg.shingle_k)
-            sig, sim = self._signatures(sh)
             ids.append(rid)
-            sigs.append(sig.view(np.int64))
-            sims.append(np.int64(np.uint64(sim).astype(np.int64)))
-            counts.append(len(sh))
-            if self.keep_shingles:
-                shingle_lists.append(sh.view(np.int64))
+            sh_arrays.append(gram_hashes(text.split(), cfg.shingle_k))
+        n = len(ids)
+        lens = np.array([len(s) for s in sh_arrays], dtype=np.int64)
+        nonempty = lens > 0
+        all_sh = (
+            np.concatenate([s for s in sh_arrays if len(s)])
+            if nonempty.any()
+            else np.empty(0, np.uint64)
+        )
+        # segment boundaries over non-empty docs only (reduceat needs them)
+        ne_lens = lens[nonempty]
+        seg = np.concatenate(([0], np.cumsum(ne_lens)))[:-1]
+        sig = np.full((n, cfg.num_perms), np.iinfo(np.uint64).max, np.uint64)
+        sim = np.zeros(n, dtype=np.uint64)
+        if len(all_sh):
+            ne_idx = np.flatnonzero(nonempty)
+            with np.errstate(over="ignore"):
+                for i in range(cfg.num_perms):
+                    h = self.a[i] * all_sh + self.b[i]
+                    sig[ne_idx, i] = np.minimum.reduceat(h, seg)
+            # simhash: per-bit counts via reduceat over unpacked bits
+            votes = np.empty((len(ne_idx), 64), dtype=np.int64)
+            for j in range(64):
+                bits = ((all_sh >> np.uint64(j)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes[:, j] = np.add.reduceat(bits, seg)
+            majority = (2 * votes) > ne_lens[:, None]
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            sim[ne_idx] = (majority.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
         cols = {
             self.id_col: pa.array(ids, pa.int64()),
-            "minhash": pa.array(
-                [s.tolist() for s in sigs], pa.list_(pa.int64())
+            "minhash": pa.FixedSizeListArray.from_arrays(
+                pa.array(sig.reshape(-1).view(np.int64), pa.int64()),
+                cfg.num_perms,
             ),
-            "simhash": pa.array(sims, pa.int64()),
-            "n_shingles": pa.array(counts, pa.int64()),
+            "simhash": pa.array(sim.view(np.int64), pa.int64()),
+            "n_shingles": pa.array(lens, pa.int64()),
         }
         if self.keep_shingles:
-            cols["shingles"] = pa.array(
-                [s.tolist() for s in shingle_lists], pa.list_(pa.int64())
+            offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+            flat = (
+                np.concatenate(sh_arrays).view(np.int64)
+                if n
+                else np.empty(0, np.int64)
+            )
+            cols["shingles"] = pa.LargeListArray.from_arrays(
+                pa.array(offs, pa.int64()), pa.array(flat, pa.int64())
             )
         return pa.table(cols)
 

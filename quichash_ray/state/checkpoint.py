@@ -1,0 +1,219 @@
+"""Checkpoint / lineage / resume (north_rule: every stage checkpoints
+per-partition lineage and throughput metrics to allow resume from failure).
+
+``CheckpointedPipeline`` materializes each named stage to partitioned Parquet
+under ``workdir/<stage>/`` with a ``_LINEAGE.json`` manifest:
+
+    {stage, rows, n_files, elapsed_sec, rows_per_sec, written_at,
+     input_stages, files: [{name, rows, bytes}], schema}
+
+Writes are atomic (temp dir + rename), so a manifest existing implies the
+stage completed; a killed run leaves at most one ``.tmp-`` dir that the next
+run clears. On resume, completed stages load from their Parquet instead of
+recomputing — the reference has no such story (a killed scan restarts from
+zero, output written only after a full barrier, /root/reference/src/scan.rs:
+450-463; SURVEY §4 checkpoint row).
+
+Output layout is many Parquet files (one per block), never one giant file, so
+a downstream consumer can itself read partition-parallel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from datetime import datetime, timezone
+from typing import Callable
+
+from ray.data import Dataset
+
+LINEAGE = "_LINEAGE.json"
+
+
+def _utcnow() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+class CheckpointedPipeline:
+    """Stage-granular checkpointing: ``run(name, fn, deps...)`` computes a
+    Dataset once, persists it, and replays from disk on later runs."""
+
+    def __init__(self, workdir: str):
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        # clear half-written temp dirs from a killed run
+        for entry in os.listdir(workdir):
+            if entry.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(workdir, entry), ignore_errors=True)
+
+    def _stage_dir(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def is_done(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._stage_dir(name), LINEAGE))
+
+    def lineage(self, name: str) -> dict:
+        with open(os.path.join(self._stage_dir(name), LINEAGE)) as f:
+            return json.load(f)
+
+    def load(self, name: str) -> Dataset:
+        import ray.data
+
+        return ray.data.read_parquet(self._stage_dir(name))
+
+    def run(
+        self,
+        name: str,
+        fn: Callable[[], Dataset],
+        input_stages: tuple[str, ...] = (),
+    ) -> Dataset:
+        """Execute ``fn`` (or resume): returns the stage's Dataset."""
+        if self.is_done(name):
+            return self.load(name)
+        tmp = os.path.join(self.workdir, f".tmp-{name}-{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        t0 = time.time()
+        ds = fn()
+        ds.write_parquet(tmp)
+        elapsed = time.time() - t0
+        files = []
+        rows = 0
+        import pyarrow.parquet as pq
+
+        schema_str = ""
+        for fname in sorted(os.listdir(tmp)):
+            fpath = os.path.join(tmp, fname)
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(fpath)
+            if not schema_str:
+                schema_str = str(pq.read_schema(fpath))
+            files.append(
+                {
+                    "name": fname,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(fpath),
+                }
+            )
+            rows += md.num_rows
+        manifest = {
+            "stage": name,
+            "rows": rows,
+            "n_files": len(files),
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(rows / elapsed, 1) if elapsed > 0 else None,
+            "written_at": _utcnow(),
+            "input_stages": list(input_stages),
+            "files": files,
+            "schema": schema_str,
+        }
+        with open(os.path.join(tmp, LINEAGE), "w") as f:
+            json.dump(manifest, f, indent=1)
+        final = self._stage_dir(name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        return self.load(name)
+
+    def invalidate(self, name: str) -> None:
+        shutil.rmtree(self._stage_dir(name), ignore_errors=True)
+
+    def report(self) -> list[dict]:
+        """All completed stages' lineage manifests (metrics sidecar)."""
+        out = []
+        for entry in sorted(os.listdir(self.workdir)):
+            p = os.path.join(self.workdir, entry, LINEAGE)
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out
+
+
+def checkpointed_fuzzy_dedup(
+    corpus_path: str,
+    workdir: str,
+    cfg=None,
+    id_col: str = "row_id",
+    text_col: str = "content",
+) -> Dataset:
+    """The flagship pipeline split into resumable checkpointed stages:
+    signatures → candidate pairs → verified edges → cluster assignments.
+    Kill it at any point; the next invocation resumes after the last
+    completed stage and provably produces the same output (tests)."""
+    import ray.data
+
+    from quichash_ray.config import FuzzyConfig
+    from quichash_ray.pipelines.fuzzy import (
+        combined_candidate_pairs,
+        exact_stage,
+        fuzzy_dedup,
+        verify_pairs_jaccard,
+    )
+    from quichash_ray.stages.lookup import attach_lookup
+    from quichash_ray.stages.minhash import make_signature_fn
+    from quichash_ray.stages.unionfind import connected_components
+
+    cfg = cfg or FuzzyConfig()
+    cp = CheckpointedPipeline(workdir)
+
+    def _membership():
+        m, _ = exact_stage(
+            ray.data.read_parquet(corpus_path), id_col, text_col
+        )
+        return m
+
+    membership = cp.run("membership", _membership)
+
+    def _signatures():
+        _, reps = exact_stage(
+            ray.data.read_parquet(corpus_path), id_col, text_col
+        )
+        return reps.map_batches(
+            make_signature_fn(cfg, id_col, text_col, keep_shingles=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=512,
+        )
+
+    signatures = cp.run("signatures", _signatures, ("membership",))
+
+    verified = cp.run(
+        "verified_edges",
+        lambda: verify_pairs_jaccard(
+            combined_candidate_pairs(signatures, cfg, id_col),
+            signatures,
+            cfg,
+            id_col,
+        ).select_columns(["id_a", "id_b"]),
+        ("signatures",),
+    )
+
+    def _clusters():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        labels = connected_components(verified)
+        lab = labels.map_batches(
+            lambda b: b.rename_columns(["rep", "cluster_id"]),
+            batch_format="pyarrow",
+        )
+        assigned = attach_lookup(
+            membership, lab, key_col="rep", value_col="cluster_id",
+            out_col="rep_cluster",
+        )
+
+        def finalize(b: pa.Table) -> pa.Table:
+            cluster = pc.coalesce(b["rep_cluster"], b["rep"])
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "cluster_id": pc.cast(cluster, pa.int64()),
+                    "rep": b["rep"],
+                }
+            )
+
+        return assigned.map_batches(finalize, batch_format="pyarrow")
+
+    return cp.run("clusters", _clusters, ("membership", "verified_edges"))

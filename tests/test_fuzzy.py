@@ -179,3 +179,16 @@ def test_hashmin_equals_driver(ray_session):
     }
     assert exact == dist
     assert dist[20] == 0 and dist[109] == 100 and dist[203] == 200
+
+
+def test_distributed_verify_equals_broadcast(ray_session, corpus_dir):
+    """The co-partitioned two-tier verifier yields the same clusters as the
+    broadcast exact verifier on the planted corpus."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{corpus_dir}/corpus")
+    a = fuzzy_dedup(ds, verify_mode="broadcast").to_pandas()
+    b = fuzzy_dedup(ds, verify_mode="distributed").to_pandas()
+    ca = dict(zip(a["row_id"], a["cluster_id"]))
+    cb = dict(zip(b["row_id"], b["cluster_id"]))
+    assert ca == cb
