@@ -168,6 +168,97 @@ def _q_embedding_neardup(sf_dir: str):
     return cosine_neardup_pairs(_emb(sf_dir), threshold=0.4, a_limit=10**9)
 
 
+def _q_fast_mode_digest(sf_dir: str):
+    """Fast-mode sampled digests (hash.rs:977-1066) with a scaled-down
+    sample window S=64 chars so the documents table exercises the sampled
+    path; text is ASCII so byte and char offsets coincide (oracle uses
+    substr arithmetic)."""
+    import pyarrow as pa
+
+    from quichash_ray.stages.digest import add_digests
+
+    ds = add_digests(
+        _docs(sf_dir),
+        ["sha256"],
+        content_col="text",
+        fast_mode=True,
+        fast_sample_size=64,
+    )
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "fast_digest": b["sha256"],
+                "fast_mode": b["fast_mode"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_top_wasted_groups(sf_dir: str):
+    """Top-10 duplicate groups by wasted space (dedup.rs:626 sort) with a
+    deterministic (wasted desc, digest asc) tie-break so LIMIT is stable."""
+    from quichash_ray.pipelines.dedup import digest_table, duplicate_groups
+    from quichash_ray.pipelines.derived import dup_planted
+
+    groups = duplicate_groups(
+        digest_table(
+            dup_planted(_docs(sf_dir)), content_col="text", key_cols=("path",)
+        ),
+        id_col="path",
+    )
+    return groups.sort(["wasted", "digest"], descending=[True, False]).limit(10)
+
+
+def _q_events_window_agg(sf_dir: str):
+    """Tumbling-window aggregate over the events table (hourly windows):
+    the batch-mode windowed aggregation a training-data pipeline needs —
+    banded shuffle keyed on (window, event_type)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def add_window(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks() if isinstance(
+            b["ts"], pa.ChunkedArray
+        ) else b["ts"]
+        us = np.asarray(ts.cast(pa.int64()))
+        hour = (us // 3_600_000_000) * 3_600_000_000
+        part = (hour // 3_600_000_000) % 16
+        return pa.table(
+            {
+                "window_start": pa.array(hour, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": b["event_type"],
+                "value": b["value"],
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["window_start", "event_type"], sort=False)
+            .agg(cnt=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        # integer cents: float sums are order-dependent in a distributed
+        # engine (1e-13 drift vs the oracle); cents are exact
+        out["sum_cents"] = (out["sum_value"] * 100).round().astype("int64")
+        return out[["window_start", "event_type", "cnt", "sum_cents"]]
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(agg, batch_format="pandas")
+    )
+
+
 _CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 50000}
 
 
@@ -305,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
         "corpus_recall_report": _q_corpus_recall_report,
         "corpus_substring_spans": _q_corpus_substring_spans,
+        "fast_mode_digest": _q_fast_mode_digest,
+        "top_wasted_groups": _q_top_wasted_groups,
+        "events_window_agg": _q_events_window_agg,
         "multimodal_image_features": _q_multimodal_image_features,
         "lsh_embedding_neardup": _q_lsh_embedding_neardup,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -405,6 +499,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.digest AS digest, r.path AS old_path, a.path AS new_path
             FROM removed r JOIN added a ON r.digest = a.digest
+        """,
+        "fast_mode_digest": """
+            SELECT doc_id,
+                   sha256(CASE WHEN strlen(text) < 192 THEN text
+                          ELSE substr(text, 1, 64)
+                               || substr(text, strlen(text)//2 - 31, 64)
+                               || substr(text, strlen(text) - 63, 64)
+                          END) AS fast_digest,
+                   TRUE AS fast_mode
+            FROM documents
+        """,
+        "top_wasted_groups": f"""
+            WITH {DUP_PLANTED_SQL},
+            grp AS (
+                SELECT sha256(text) AS digest,
+                       count(*)::BIGINT AS cnt,
+                       min(strlen(text))::BIGINT AS size,
+                       min(path) AS rep,
+                       ((count(*) - 1) * min(strlen(text)))::BIGINT AS wasted
+                FROM d GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT * FROM grp ORDER BY wasted DESC, digest ASC LIMIT 10
+        """,
+        "events_window_agg": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS cnt,
+                   round(sum(value) * 100)::BIGINT AS sum_cents
+            FROM events GROUP BY 1, 2
         """,
         "multi_digest": """
             SELECT doc_id, md5(text) AS md5, sha256(text) AS sha256
