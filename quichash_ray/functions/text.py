@@ -74,3 +74,16 @@ def normalize_for_fingerprint(s: str) -> str:
 def tokenize(s: str) -> list[str]:
     """Whitespace tokenization (shared with the shingling stage)."""
     return s.split()
+
+
+def human_size(n: int) -> str:
+    """KB/MB/GB/TB formatting for reports — compare.rs:60-74 semantics
+    (1024 base, two decimals, bytes unadorned)."""
+    size = float(n)
+    for unit in ("B", "KB", "MB", "GB", "TB"):
+        if size < 1024 or unit == "TB":
+            if unit == "B":
+                return f"{int(size)} B"
+            return f"{size:.2f} {unit}"
+        size /= 1024
+    return f"{size:.2f} TB"

@@ -123,6 +123,44 @@ def dedup_keep_first(
     return _banded_digest_agg(digests, agg)
 
 
+def per_algorithm_counts(db: Dataset) -> Dataset:
+    """Per-algorithm and per-mode counts over a (legacy) digest DB —
+    analyze.rs:239-256 semantics. → (algorithm, fast_mode, cnt)."""
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["algorithm", "fast_mode"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def add_part(b: pa.Table) -> pa.Table:
+        import zlib
+
+        import numpy as np
+
+        part = np.fromiter(
+            (
+                zlib.crc32(a.encode()) % 16
+                for a in b["algorithm"].to_pylist()
+            ),
+            "int64",
+            b.num_rows,
+        )
+        return b.append_column("part", pa.array(part))
+
+    partials = (
+        db.select_columns(["algorithm", "fast_mode"])
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(agg, batch_format="pandas")
+    )
+    return partials
+
+
 def analyze_stats(
     digests: Dataset,
     size_col: str = "size",

@@ -193,3 +193,14 @@ class TestFastMode:
         data = b"z" * (3 * self.S + 1)
         sampled = fast_sample(data, self.S)
         assert len(sampled) == 3 * self.S
+
+
+class TestHumanSize:
+    def test_formatting(self):  # compare.rs:60-74
+        from quichash_ray.functions.text import human_size
+
+        assert human_size(512) == "512 B"
+        assert human_size(2048) == "2.00 KB"
+        assert human_size(5 * 1024 * 1024) == "5.00 MB"
+        assert human_size(3 * 1024**3) == "3.00 GB"
+        assert human_size(2 * 1024**4) == "2.00 TB"

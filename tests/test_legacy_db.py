@@ -110,3 +110,27 @@ def test_last_write_wins(ray_session, tmp_path):
     rows = ds.take_all()
     assert len(rows) == 1
     assert rows[0]["hash"] == "h2"  # database.rs:204
+
+
+def test_per_algorithm_counts(ray_session, tmp_path):
+    """analyze.rs:239-256: per-algorithm / per-mode counts."""
+    from quichash_ray.pipelines.dedup import per_algorithm_counts
+
+    p = str(tmp_path / "mixed.txt")
+    with open(p, "w") as f:
+        f.write(
+            "h1  sha256  normal  a.txt\n"
+            "h2  sha256  fast  b.txt\n"
+            "h3  blake3  normal  c.txt\n"
+            "h4  sha256  normal  d.txt\n"
+        )
+    ds, _ = read_legacy_db(p)
+    got = {
+        (r["algorithm"], r["fast_mode"]): r["cnt"]
+        for r in per_algorithm_counts(ds).take_all()
+    }
+    assert got == {
+        ("sha256", False): 2,
+        ("sha256", True): 1,
+        ("blake3", False): 1,
+    }
