@@ -457,9 +457,12 @@ def verify_pairs_jaccard(
     _mark(f"cand_ids({len(id_arr)})")
 
     def filter_sigs(b: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)
-        mask = np.isin(np.asarray(b[id_col]), wanted)
-        return b.filter(pa.array(mask))
+        wanted = ray.get(id_ref)  # sorted unique
+        col = np.asarray(b[id_col])
+        if len(wanted) == 0:
+            return b.slice(0, 0)
+        pos = np.clip(np.searchsorted(wanted, col), 0, len(wanted) - 1)
+        return b.filter(pa.array(wanted[pos] == col))
 
     # assemble flat CSR-style lookups (sorted ids, offsets, values) in K
     # id-hash shards, each built by a REMOTE task over the materialized
@@ -477,9 +480,15 @@ def verify_pairs_jaccard(
         k = cfg.shingle_k
 
         def shingles_from_content(b: pa.Table) -> pa.Table:
-            wanted = ray.get(id_ref)
-            mask = np.isin(np.asarray(b[id_col]), wanted)
-            sel = b.filter(pa.array(mask))
+            wanted = ray.get(id_ref)  # sorted unique
+            col = np.asarray(b[id_col])
+            if len(wanted) == 0:
+                sel = b.slice(0, 0)
+            else:
+                pos = np.clip(
+                    np.searchsorted(wanted, col), 0, len(wanted) - 1
+                )
+                sel = b.filter(pa.array(wanted[pos] == col))
             ids_out, lists_out = [], []
             for rid, text in zip(
                 sel[id_col].to_pylist(), sel[text_col].to_pylist()

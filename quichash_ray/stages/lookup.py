@@ -107,9 +107,14 @@ def semi_join_broadcast(
         ref = ray.put(idset)
 
         def kernel(b: pa.Table) -> pa.Table:
-            ids = ray.get(ref)
+            ids = ray.get(ref)  # sorted unique (np.unique)
             col = np.asarray(b[key_col])
-            mask = np.isin(col, ids, assume_unique=False)
+            if len(ids) == 0:
+                return b.slice(0, 0)
+            # searchsorted membership: np.isin would re-sort the broadcast
+            # array on EVERY batch (O(n log n) per call at 10^6+ ids)
+            pos = np.clip(np.searchsorted(ids, col), 0, len(ids) - 1)
+            mask = ids[pos] == col
             return b.filter(pa.array(mask))
 
         return ds.map_batches(

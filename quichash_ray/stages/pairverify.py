@@ -191,9 +191,12 @@ def verify_pairs_distributed(
     cand_ref = ray.put(cand_ids)
 
     def keep_cands(b: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        mask = np.isin(np.asarray(b[id_col]), wanted)
-        return b.filter(pa.array(mask))
+        wanted = ray.get(cand_ref)  # sorted unique
+        col = np.asarray(b[id_col])
+        if len(wanted) == 0:
+            return b.slice(0, 0)
+        pos = np.clip(np.searchsorted(wanted, col), 0, len(wanted) - 1)
+        return b.filter(pa.array(wanted[pos] == col))
 
     sigs = (
         signatures.select_columns([id_col, "minhash"])
@@ -260,9 +263,12 @@ def verify_pairs_distributed(
     bl_ref = ray.put(bl_ids)
 
     def keep_borderline(b: pa.Table) -> pa.Table:
-        wanted = ray.get(bl_ref)
-        mask = np.isin(np.asarray(b[id_col]), wanted)
-        return b.filter(pa.array(mask))
+        wanted = ray.get(bl_ref)  # sorted unique
+        col = np.asarray(b[id_col])
+        if len(wanted) == 0:
+            return b.slice(0, 0)
+        pos = np.clip(np.searchsorted(wanted, col), 0, len(wanted) - 1)
+        return b.filter(pa.array(wanted[pos] == col))
 
     shingle_data = (
         signatures.select_columns([id_col, "shingles"])
