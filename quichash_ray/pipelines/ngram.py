@@ -34,14 +34,35 @@ from ray.data.aggregate import Count, Sum
 
 _P = np.uint64(1099511628211)  # FNV-ish odd multiplier; wraps mod 2^64
 
+# worker-level token→crc32 memo: real-code token frequency is Zipfian, so
+# cache hits dominate; bounded to keep worker heap flat on adversarial input
+_CRC_CACHE: dict[str, int] = {}
+_CRC_CACHE_CAP = 1_000_000
+
+
+def _token_crc(tok: str) -> int:
+    v = _CRC_CACHE.get(tok)
+    if v is None:
+        v = zlib.crc32(tok.encode("utf-8"))
+        if len(_CRC_CACHE) >= _CRC_CACHE_CAP:
+            _CRC_CACHE.clear()
+        _CRC_CACHE[tok] = v
+    return v
+
 
 def gram_hashes(tokens: list[str], k: int) -> np.ndarray:
     """Distinct 64-bit hashes of the k-token shingles of ``tokens``."""
     n = len(tokens)
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    t = np.array(
-        [zlib.crc32(tok.encode("utf-8")) for tok in tokens], dtype=np.uint64
+    cache_get = _CRC_CACHE.get
+    t = np.fromiter(
+        (
+            v if (v := cache_get(tok)) is not None else _token_crc(tok)
+            for tok in tokens
+        ),
+        dtype=np.uint64,
+        count=n,
     )
     with np.errstate(over="ignore"):
         h = t[: n - k + 1].copy()
