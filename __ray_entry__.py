@@ -259,6 +259,54 @@ def _q_events_window_agg(sf_dir: str):
     )
 
 
+def _q_events_sessionize(sf_dir: str):
+    """Session windows over the events log (30-min inactivity gap): the
+    stream-shaped workload expressed batch-mode — events partition by
+    user-hash, sort by ts within the partition, gap-split with pandas
+    (ordering assumption: per-user ordering restored inside each group)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    gap_us = 30 * 60 * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "part": pa.array(uid % 32, pa.int64()),
+            }
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        ts_us = g["ts"].astype("int64")
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = ts_us.diff().gt(gap_us)
+        new_session = (new_user | gap).astype("int64")
+        out = (
+            pd.DataFrame(
+                {"user_id": g["user_id"], "ns": new_session}
+            )
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("ns", "sum"), n_events=("ns", "size"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
 _CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 50000}
 
 
@@ -399,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fast_mode_digest": _q_fast_mode_digest,
         "top_wasted_groups": _q_top_wasted_groups,
         "events_window_agg": _q_events_window_agg,
+        "events_sessionize": _q_events_sessionize,
         "multimodal_image_features": _q_multimodal_image_features,
         "lsh_embedding_neardup": _q_lsh_embedding_neardup,
         "exact_dup_groups": _q_exact_dup_groups,
@@ -521,6 +570,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM d GROUP BY 1 HAVING count(*) > 1
             )
             SELECT * FROM grp ORDER BY wasted DESC, digest ASC LIMIT 10
+        """,
+        "events_sessionize": """
+            WITH marks AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, sum(ns)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM marks GROUP BY 1
         """,
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start,
