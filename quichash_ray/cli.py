@@ -70,7 +70,7 @@ def cmd_scan(args) -> int:
         content_col=args.content_col,
         key_cols=tuple(args.key_cols.split(",")),
         algorithm=args.algorithm,
-    )
+    ).materialize()  # one execution serves both the write and the count
     out.write_parquet(args.output)
     print(json.dumps({"rows": out.count(), "output": args.output, **_meta()}))
     return 0
@@ -89,7 +89,9 @@ def cmd_dedup(args) -> int:
         key_cols=tuple(args.key_cols.split(",")),
         algorithm=args.algorithm,
     )
-    groups = duplicate_groups(digests, id_col=args.key_cols.split(",")[0])
+    groups = duplicate_groups(
+        digests, id_col=args.key_cols.split(",")[0]
+    ).materialize()
     groups.write_parquet(args.output)
     df = groups.to_pandas()
     report = {
@@ -169,6 +171,7 @@ def cmd_fuzzy(args) -> int:
         from quichash_ray.pipelines.fuzzy import fuzzy_dedup
 
         out = fuzzy_dedup(ray.data.read_parquet(args.input))
+    out = out.materialize()
     out.write_parquet(args.output)
     print(json.dumps({"rows": out.count(), "output": args.output, **_meta()}))
     return 0

@@ -59,6 +59,9 @@ def _banded_digest_agg(digests: Dataset, agg_fn, num_parts: int = 64) -> Dataset
     import numpy as np
 
     def add_part(b: pa.Table) -> pa.Table:
+        # rows with null digest (null content) are excluded from grouping —
+        # the skip-and-count discipline; they would otherwise crash crc32
+        b = b.filter(pa.compute.is_valid(b["digest"]))
         part = np.fromiter(
             (
                 zlib.crc32(d.encode()) % num_parts

@@ -35,11 +35,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Min
 
 from quichash_ray.config import FuzzyConfig
-from quichash_ray.stages.minhash import (
-    SignatureActor,
-    band_rows,
-    make_signature_fn,
-)
+from quichash_ray.stages.minhash import SignatureActor, make_signature_fn
 from quichash_ray.stages.unionfind import connected_components
 
 
@@ -65,6 +61,10 @@ def exact_stage(
     def add_part(b: pa.Table) -> pa.Table:
         import zlib
 
+        import pyarrow.compute as pc
+
+        # null digests (null content) are excluded — skip-and-count
+        b = b.filter(pc.is_valid(b[algorithm]))
         part = np.fromiter(
             (zlib.crc32(d.encode()) & 63 for d in b[algorithm].to_pylist()),
             np.int64,
@@ -93,170 +93,6 @@ def exact_stage(
     return membership, reps
 
 
-def lsh_candidate_pairs(
-    signatures: Dataset,
-    cfg: FuzzyConfig | None = None,
-    id_col: str = "row_id",
-    num_parts: int = 32,
-    bucket_cap: int = 512,
-) -> Dataset:
-    """Band-bucket groupby → distinct candidate pairs (id_a < id_b).
-
-    Same banded local-join machinery as the n-gram stage: buckets hash into
-    ``num_parts`` partition groups; all pairs of ids sharing a
-    (band_id, band_key) bucket are emitted, buckets above ``bucket_cap``
-    dropped (logged skew guard), pairs deduplicated by a groupby.
-    """
-    cfg = cfg or FuzzyConfig()
-    bands = band_rows(signatures, cfg, id_col)
-
-    def add_part(b: pa.Table) -> pa.Table:
-        key = np.asarray(b["band_key"], np.int64).view(np.uint64)
-        band = np.asarray(b["band_id"], np.int64).astype(np.uint64)
-        part = (key ^ (band * np.uint64(0xD1B54A32D192ED03))) % np.uint64(
-            num_parts
-        )
-        return b.append_column("part", pa.array(part.astype(np.int64)))
-
-    parted = bands.map_batches(
-        add_part, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        key = (
-            g["band_key"].to_numpy().astype(np.int64),
-            g["band_id"].to_numpy().astype(np.int64),
-        )
-        ids = g[id_col].to_numpy().astype(np.int64)
-        order = np.lexsort((ids,) + key)
-        k0, k1 = key[0][order], key[1][order]
-        ids = ids[order]
-        bucket = np.flatnonzero(
-            np.concatenate(([True], (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])))
-        )
-        counts = np.diff(np.concatenate((bucket, [len(ids)])))
-        out_a, out_b = [], []
-        for s, c in zip(bucket, counts):
-            if c < 2 or c > bucket_cap:
-                continue
-            seg = ids[s : s + c]
-            ia, ib = np.triu_indices(c, k=1)
-            out_a.append(seg[ia])
-            out_b.append(seg[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
-            )
-        return (
-            pd.DataFrame(
-                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-            )
-            .drop_duplicates()
-            .reset_index(drop=True)
-        )
-
-    # pairs are deduplicated locally per partition; a pair surfacing from
-    # several bands may appear a handful of times — downstream verification
-    # and union-find are idempotent to duplicate edges, so a global distinct
-    # shuffle would cost more than the duplicates it removes
-    return parted.groupby("part").map_groups(
-        local_pairs, batch_format="pandas"
-    )
-
-
-def simhash_candidate_pairs(
-    signatures: Dataset,
-    cfg: FuzzyConfig | None = None,
-    id_col: str = "row_id",
-    bucket_cap: int = 512,
-) -> Dataset:
-    """Pigeonhole Hamming-radius candidates: 4×16-bit chunks of the 64-bit
-    simhash; any pair within Hamming distance ≤ radius shares ≥1 exact chunk
-    (radius 3 < 4 chunks). Pairs verified by popcount before emission."""
-    cfg = cfg or FuzzyConfig()
-    n_chunks = cfg.simhash_chunks
-    bits = cfg.simhash_bits // n_chunks
-    radius = cfg.simhash_radius
-
-    def chunk_rows(b: pa.Table) -> pa.Table:
-        sim = np.asarray(b["simhash"], np.int64).view(np.uint64)
-        ids = np.asarray(b[id_col], np.int64)
-        mask = np.uint64((1 << bits) - 1)
-        out_id = np.repeat(ids, n_chunks)
-        out_chunk = np.tile(np.arange(n_chunks, dtype=np.int64), len(ids))
-        vals = np.empty(len(ids) * n_chunks, dtype=np.int64)
-        for c in range(n_chunks):
-            vals[c::n_chunks] = (
-                (sim >> np.uint64(c * bits)) & mask
-            ).astype(np.int64)
-        sims = np.repeat(sim.view(np.int64), n_chunks)
-        return pa.table(
-            {
-                id_col: pa.array(out_id, pa.int64()),
-                "chunk_id": pa.array(out_chunk, pa.int64()),
-                "chunk_val": pa.array(vals, pa.int64()),
-                "simhash": pa.array(sims, pa.int64()),
-            }
-        )
-
-    num_parts = 32
-
-    def add_part(b: pa.Table) -> pa.Table:
-        cv = np.asarray(b["chunk_val"], np.int64).view(np.uint64)
-        ci = np.asarray(b["chunk_id"], np.int64).astype(np.uint64)
-        part = (
-            (cv * np.uint64(0x9E3779B97F4A7C15)) ^ ci
-        ) % np.uint64(num_parts)
-        return b.append_column("part", pa.array(part.astype(np.int64)))
-
-    chunks = (
-        signatures.select_columns([id_col, "simhash"])
-        .map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    )
-
-    _LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
-
-    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one call per hash partition (not per bucket): segment the sorted
-        # (chunk_id, chunk_val) runs and emit Hamming-verified pairs per run
-        ids = g[id_col].to_numpy().astype(np.int64)
-        cid = g["chunk_id"].to_numpy().astype(np.int64)
-        cval = g["chunk_val"].to_numpy().astype(np.int64)
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        order = np.lexsort((ids, cval, cid))
-        ids, cid, cval, sims = ids[order], cid[order], cval[order], sims[order]
-        starts = np.flatnonzero(
-            np.concatenate(
-                ([True], (cid[1:] != cid[:-1]) | (cval[1:] != cval[:-1]))
-            )
-        )
-        counts = np.diff(np.concatenate((starts, [len(ids)])))
-        out_a, out_b = [], []
-        for s, c in zip(starts, counts):
-            if c < 2 or c > bucket_cap:
-                continue
-            seg_ids = ids[s : s + c]
-            seg_sims = sims[s : s + c]
-            ia, ib = np.triu_indices(c, k=1)
-            x = seg_sims[ia] ^ seg_sims[ib]
-            ham = _LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
-            keep = (ham <= radius) & (seg_ids[ia] != seg_ids[ib])
-            out_a.append(seg_ids[ia][keep])
-            out_b.append(seg_ids[ib][keep])
-        if not out_a:
-            return pd.DataFrame(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
-            )
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        ).drop_duplicates().reset_index(drop=True)
-
-    return chunks.groupby("part").map_groups(
-        local_pairs, batch_format="pandas"
-    )
-
-
 def combined_candidate_pairs(
     signatures: Dataset,
     cfg: FuzzyConfig | None = None,
@@ -280,6 +116,14 @@ def combined_candidate_pairs(
     mult = np.uint64(0x9E3779B97F4A7C15)
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
+        # docs with zero shingles (< k tokens) all share the identity
+        # signature — banding them makes every short-doc pair a candidate
+        # in every band; they can only be exact dups, which the exact stage
+        # already handled, so exclude them here
+        nsh = batch["n_shingles"]
+        if isinstance(nsh, pa.ChunkedArray):
+            nsh = nsh.combine_chunks()
+        batch = batch.filter(pa.compute.greater(nsh, 0))
         mh = batch["minhash"]
         if isinstance(mh, pa.ChunkedArray):
             mh = mh.combine_chunks()
@@ -338,7 +182,7 @@ def combined_candidate_pairs(
         )
 
     bucketed = signatures.select_columns(
-        [id_col, "minhash", "simhash"]
+        [id_col, "minhash", "simhash", "n_shingles"]
     ).map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     _LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)

@@ -42,12 +42,16 @@ def _read_text(path: str) -> str:
 
 def detect_format(text: str) -> str:
     """'hashdeep' | 'standard' — first-10-lines heuristic (database.rs:97-130)."""
-    for line in text.splitlines()[:10]:
-        if not line.strip():
+    for raw in text.splitlines()[:10]:
+        line = raw.strip()
+        if not line:
             continue
         if line.startswith("%"):
             return "hashdeep"
-        if "," in line and "  " not in line:
+        if "," in line:
+            # comma → hashdeep unconditionally (database.rs:112-118); a
+            # double-space standard line never contains commas in its first
+            # three fields, and the reference gives commas priority
             return "hashdeep"
         if "  " in line:
             return "standard"
@@ -106,8 +110,16 @@ def parse_hashdeep(text: str) -> tuple[list[dict], int]:
             skipped += 1
             continue
         size_s = parts[0]
+        # multi-hash rows are size,hash1,...,hashN,filename with filename
+        # LAST (database.rs:333-349); the first hash is the primary digest.
+        # With a header, N is known and any extra commas belong to the
+        # filename; headerless rows assume one hash column.
+        n_hashes = max(1, len(algos)) if algos else 1
+        if len(parts) < 2 + n_hashes:
+            skipped += 1
+            continue
         digest = parts[1]
-        path = ",".join(parts[2:])  # filenames may contain commas
+        path = ",".join(parts[1 + n_hashes :])
         try:
             size = int(size_s)
         except ValueError:

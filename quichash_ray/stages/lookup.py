@@ -56,9 +56,13 @@ def attach_lookup(
         def kernel(b: pa.Table) -> pa.Table:
             km, vm = ray.get(ref)
             col = np.asarray(b[key_col], dtype=np.int64)
-            pos = np.searchsorted(km, col)
-            pos_c = np.clip(pos, 0, max(len(km) - 1, 0))
-            hit = (len(km) > 0) & (km[pos_c] == col)
+            if len(km) == 0:
+                hit = np.zeros(len(col), dtype=bool)
+                pos_c = np.zeros(len(col), dtype=np.int64)
+                vm = np.zeros(1, dtype=np.int64)  # safe gather target
+            else:
+                pos_c = np.clip(np.searchsorted(km, col), 0, len(km) - 1)
+                hit = km[pos_c] == col
             out = np.where(hit, vm[pos_c], default if default is not None else -1)
             arr = pa.array(out.astype(np.int64), pa.int64())
             if default is None:

@@ -109,9 +109,12 @@ def _attach_side(
         lens = np.diff(d_offs)[order]
         starts_src = d_offs[:-1][order]
         p_keys = np.asarray(pair_tbl[side], dtype=np.int64)
-        pos = np.searchsorted(d_ids_s, p_keys)
-        pos_c = np.clip(pos, 0, max(len(d_ids_s) - 1, 0))
-        hit = (len(d_ids_s) > 0) & (d_ids_s[pos_c] == p_keys)
+        if len(d_ids_s) == 0:
+            return _empty_out(g, pair_names, data_col, out_col)
+        pos_c = np.clip(
+            np.searchsorted(d_ids_s, p_keys), 0, len(d_ids_s) - 1
+        )
+        hit = d_ids_s[pos_c] == p_keys
         pair_tbl = pair_tbl.filter(pa.array(hit))
         pos_c = pos_c[hit]
         # gather ragged runs for the hit rows

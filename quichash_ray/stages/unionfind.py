@@ -230,20 +230,3 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
         if changed == 0:
             break
     return labels
-
-
-def attach_members(
-    labels: Dataset,
-    membership: Dataset,
-    member_col: str = "row_id",
-    rep_col: str = "node",
-    num_partitions: int = 8,
-) -> Dataset:
-    """Propagate rep-level cluster ids back to all members:
-    membership(member_col, rep_col) ⋈ labels(node, cluster_id)."""
-    return membership.join(
-        labels,
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=(rep_col,),
-    )

@@ -167,8 +167,15 @@ def checkpointed_fuzzy_dedup(
     membership = cp.run("membership", _membership)
 
     def _signatures():
-        _, reps = exact_stage(
-            ray.data.read_parquet(corpus_path), id_col, text_col
+        # reuse the checkpointed membership instead of re-running the full
+        # digest pass: rep ids are the rows where id == rep
+        from quichash_ray.stages.lookup import semi_join_broadcast
+
+        rep_ids = membership.filter(expr=f"{id_col} == rep").select_columns(
+            [id_col]
+        )
+        reps = semi_join_broadcast(
+            ray.data.read_parquet(corpus_path), rep_ids, id_col
         )
         return reps.map_batches(
             make_signature_fn(cfg, id_col, text_col, keep_shingles=True),

@@ -192,3 +192,79 @@ def test_distributed_verify_equals_broadcast(ray_session, corpus_dir):
     ca = dict(zip(a["row_id"], a["cluster_id"]))
     cb = dict(zip(b["row_id"], b["cluster_id"]))
     assert ca == cb
+
+
+def test_all_unique_corpus_no_crash(ray_session):
+    """Regression: empty edge set (no near-dups) must not crash the
+    label-attach broadcast (empty-mapping IndexError, found in review)."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "row_id": pa.array(range(30), pa.int64()),
+            "content": pa.array(
+                [
+                    " ".join(f"uniq{i}_{j}" for j in range(20))
+                    for i in range(30)
+                ],
+                pa.large_string(),
+            ),
+        }
+    )
+    out = fuzzy_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 30
+    assert (out["cluster_id"] == out["row_id"]).all()
+
+
+def test_null_content_rows_skipped(ray_session):
+    """Regression: null content → null digest rows are excluded from
+    grouping (skip-and-count), not a crash."""
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.pipelines.dedup import digest_table, duplicate_groups
+
+    t = pa.table(
+        {
+            "path": pa.array(["a", "b", "c", "d"], pa.string()),
+            "content": pa.array(["x y z", None, "x y z", None], pa.large_string()),
+        }
+    )
+    digests = digest_table(ray.data.from_arrow(t))
+    groups = duplicate_groups(digests).to_pandas()
+    assert len(groups) == 1 and groups.iloc[0]["cnt"] == 2
+
+    out = fuzzy_dedup(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "row_id": pa.array([1, 2, 3], pa.int64()),
+                    "content": pa.array(
+                        ["p q r s t u v w", None, "p q r s t u v w"],
+                        pa.large_string(),
+                    ),
+                }
+            )
+        )
+    ).to_pandas()
+    got = dict(zip(out["row_id"], out["cluster_id"]))
+    assert got[1] == got[3] == 1
+
+
+def test_short_docs_not_banded(ray_session):
+    """Regression: docs with < k tokens share the identity signature; they
+    must not flood LSH buckets (distinct short docs stay unclustered)."""
+    import pyarrow as pa
+    import ray.data
+
+    t = pa.table(
+        {
+            "row_id": pa.array(range(10), pa.int64()),
+            "content": pa.array(
+                [f"w{i} x{i}" for i in range(10)], pa.large_string()
+            ),
+        }
+    )
+    out = fuzzy_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert (out["cluster_id"] == out["row_id"]).all()

@@ -134,3 +134,27 @@ def test_per_algorithm_counts(ray_session, tmp_path):
         ("sha256", True): 1,
         ("blake3", False): 1,
     }
+
+
+def test_hashdeep_multi_hash_columns():
+    """Regression (database.rs:333-349): multi-hash rows put the filename
+    LAST; the first hash is the primary digest."""
+    text = (
+        "%%%% HASHDEEP-1.0\n"
+        "%%%% size,md5,sha256,filename\n"
+        "1024,aaaa,bbbb,docs/readme.txt\n"
+        "2048,cccc,dddd,dir/with,comma.txt\n"
+    )
+    rows, skipped = parse_hashdeep(text)
+    assert skipped == 0
+    assert rows[0]["path"] == "docs/readme.txt"
+    assert rows[0]["hash"] == "aaaa"
+    assert rows[0]["algorithm"] == "md5"
+    assert rows[1]["path"] == "dir/with,comma.txt"
+
+
+def test_detect_format_comma_priority():
+    """Regression: comma → hashdeep even when the line also contains double
+    spaces (database.rs:112-118), and indented headers are detected."""
+    assert detect_format("1024,abcd,foo  bar.txt\n") == "hashdeep"
+    assert detect_format("  %%%% HASHDEEP-1.0\n") == "hashdeep"
