@@ -44,33 +44,68 @@ def exact_stage(
     id_col: str = "row_id",
     text_col: str = "content",
     algorithm: str = "sha256",
+    num_parts: int | None = None,
 ):
     """→ (membership, reps): membership(id, rep) maps every row to its
     exact-dup representative (min id per digest); reps = corpus rows whose
-    id is a representative (content retained for the fuzzy stages)."""
+    id is a representative (content retained for the fuzzy stages).
+
+    Null-content rows keep a membership row with ``rep = row_id`` (singleton
+    cluster) — skip-and-count discipline without silently dropping ids.
+    """
     from quichash_ray.stages.digest import add_digests
     from quichash_ray.stages.lookup import semi_join_broadcast
+    from quichash_ray.stages.partitioning import choose_num_parts
+
+    if num_parts is None:
+        # ~90B/row through the shuffle (id + hex digest + part)
+        num_parts = choose_num_parts(
+            corpus.count(), bytes_per_row=90, target_bytes=32 << 20
+        )
 
     digests = add_digests(
-        corpus, [algorithm], content_col=text_col, drop_content=True
-    ).select_columns([id_col, algorithm])
+        corpus,
+        [algorithm],
+        content_col=text_col,
+        drop_content=True,
+        prefix_col="_dp",
+    ).select_columns([id_col, algorithm, "_dp"])
 
-    # one banded shuffle: partition by digest hash, assign rep = min(id) per
+    # one banded shuffle: partition by digest prefix (int64 emitted by the
+    # digest kernel — no per-row re-hash here), assign rep = min(id) per
     # digest inside each partition with a vectorized pandas transform (a
     # digest never spans partitions). No join, no aggregator actors.
-    def add_part(b: pa.Table) -> pa.Table:
-        import zlib
+    mult = np.uint64(0x9E3779B97F4A7C15)
 
+    def add_part(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # null digests (null content) are excluded — skip-and-count
-        b = b.filter(pc.is_valid(b[algorithm]))
-        part = np.fromiter(
-            (zlib.crc32(d.encode()) & 63 for d in b[algorithm].to_pylist()),
-            np.int64,
-            b.num_rows,
+        valid = pc.is_valid(b[algorithm])
+        dig = b[algorithm]
+        dp = b["_dp"]
+        if not pc.all(valid).as_py():
+            # null digest (null content): a per-row unique pseudo-digest
+            # makes the row its own singleton group ("null:" can never
+            # collide with a hex digest)
+            dig = pc.if_else(
+                valid,
+                dig,
+                pc.binary_join_element_wise(
+                    "null:", pc.cast(b[id_col], pa.string()), ""
+                ),
+            )
+            dp = pc.if_else(valid, dp, b[id_col])
+        part = (
+            (np.asarray(dp, dtype=np.int64).view(np.uint64) * mult)
+            >> np.uint64(40)
+        ) % np.uint64(num_parts)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                algorithm: dig,
+                "part": pa.array(part.astype(np.int64)),
+            }
         )
-        return b.append_column("part", pa.array(part))
 
     def assign_rep(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -97,18 +132,38 @@ def combined_candidate_pairs(
     signatures: Dataset,
     cfg: FuzzyConfig | None = None,
     id_col: str = "row_id",
-    num_parts: int = 32,
+    num_parts: int | None = None,
     bucket_cap: int = 512,
     use_simhash: bool = True,
 ) -> Dataset:
     """LSH band buckets AND SimHash pigeonhole buckets in ONE shuffle.
 
-    Bucket rows carry (id, kind, k1, k2, simhash): kind 0 = LSH band
-    (k1=band_id, k2=band_key), kind 1 = simhash chunk (k1=chunk_id,
-    k2=chunk_val). One hash-partitioned groupby then segments each bucket
-    locally — halves the AllToAll count vs running the two stages apart.
+    Bucket rows carry (id, key, simhash): ``key`` is a 64-bit hash mixing
+    (kind, k1, k2) with the kind bit — LSH band (k1=band_id, k2=band_key) vs
+    simhash chunk (k1=chunk_id, k2=chunk_val) — packed into its low bit. One
+    hash-partitioned groupby then segments each bucket locally — halves the
+    AllToAll count vs running the two stages apart, and the packed key keeps
+    the shuffle rows at 4 int64 columns.
+
+    Buckets larger than ``bucket_cap`` are dropped (boilerplate quadratic
+    guard); every drop is counted on the metrics actor under
+    ``lsh_dropped_buckets`` / ``lsh_dropped_bucket_rows`` — no silent caps.
     """
     cfg = cfg or FuzzyConfig()
+    if num_parts is None:
+        from quichash_ray.stages.partitioning import dataset_num_parts
+
+        # (b + chunks) bucket rows per signature row, 32B each through the
+        # shuffle; smaller groups = more local-join parallelism
+        num_parts = dataset_num_parts(
+            signatures,
+            bytes_per_row=(cfg.lsh_bands + cfg.simhash_chunks) * 32,
+            target_bytes=32 << 20,
+            min_parts=32,
+        )
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
     b_, r_ = cfg.lsh_bands, cfg.lsh_rows
     n_chunks = cfg.simhash_chunks
     bits = cfg.simhash_bits // n_chunks
@@ -159,8 +214,9 @@ def combined_candidate_pairs(
                 ).astype(np.int64)
             out_k2.append(vals)
             out_sim.append(np.repeat(sims.view(np.int64), n_chunks))
-        # pack (kind, k1, k2) into one 64-bit bucket key — narrower shuffle
-        # rows and a single-column sort key in the local join
+        # pack (kind, k1, k2) into one 64-bit bucket key with the kind in
+        # the LOW BIT — narrower shuffle rows (no separate kind column) and
+        # a single-column sort key in the local join
         kindv = np.concatenate(out_kind).astype(np.uint64)
         k1v = np.concatenate(out_k1).astype(np.uint64)
         k2v = np.concatenate(out_k2).view(np.uint64)
@@ -170,11 +226,11 @@ def combined_candidate_pairs(
                 ^ (k1v * np.uint64(0xD1B54A32D192ED03))
                 ^ (kindv * np.uint64(0xEB44ACCAB455D165))
             )
+        key = (key & ~np.uint64(1)) | kindv
         part = key % np.uint64(num_parts)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(out_id), pa.int64()),
-                "kind": pa.array(kindv.astype(np.int64), pa.int64()),
                 "key": pa.array(key.view(np.int64), pa.int64()),
                 "simhash": pa.array(np.concatenate(out_sim), pa.int64()),
                 "part": pa.array(part.astype(np.int64)),
@@ -189,15 +245,22 @@ def combined_candidate_pairs(
 
     def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy().astype(np.int64)
-        kind = g["kind"].to_numpy().astype(np.int64)
         key = g["key"].to_numpy().astype(np.int64)
         sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         order = np.lexsort((ids, key))
-        ids, kind, key, sims = ids[order], kind[order], key[order], sims[order]
+        ids, key, sims = ids[order], key[order], sims[order]
+        kind = key & 1  # packed kind bit
         starts = np.flatnonzero(
             np.concatenate(([True], key[1:] != key[:-1]))
         )
         counts = np.diff(np.concatenate((starts, [len(ids)])))
+        over_cap = counts > bucket_cap
+        if over_cap.any():
+            # no silent caps: report dropped buckets + their row volume
+            metrics.add.remote("lsh_dropped_buckets", int(over_cap.sum()))
+            metrics.add.remote(
+                "lsh_dropped_bucket_rows", int(counts[over_cap].sum())
+            )
         out_a, out_b = [], []
         for s, c in zip(starts, counts):
             if c < 2 or c > bucket_cap:
@@ -284,29 +347,17 @@ def verify_pairs_jaccard(
     cfg = cfg or FuzzyConfig()
     # pull shingle sets ONLY for ids that occur in candidate pairs — the
     # broadcast scales with the candidate set (sparse after LSH), not the
-    # corpus. The candidate-id collection and the filtered scan are both
-    # distributed; only the final dict assembly runs on the driver.
+    # corpus. Candidate-id collection runs as remote per-block uniques; the
+    # driver merges ids-only arrays.
+    from quichash_ray.stages.pairverify import collect_pair_ids, make_id_filter
+
     candidates = candidates.materialize()
     _mark(f"candidates_materialize({candidates.count()})")
-    id_chunks0: list[np.ndarray] = []
-    for b in candidates.iter_batches(batch_format="pyarrow", batch_size=None):
-        id_chunks0.append(np.asarray(b["id_a"], dtype=np.int64))
-        id_chunks0.append(np.asarray(b["id_b"], dtype=np.int64))
-    id_arr = (
-        np.unique(np.concatenate(id_chunks0))
-        if id_chunks0
-        else np.empty(0, np.int64)
-    )
+    id_arr = collect_pair_ids(candidates)
     id_ref = ray.put(id_arr)
     _mark(f"cand_ids({len(id_arr)})")
 
-    def filter_sigs(b: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)  # sorted unique
-        col = np.asarray(b[id_col])
-        if len(wanted) == 0:
-            return b.slice(0, 0)
-        pos = np.clip(np.searchsorted(wanted, col), 0, len(wanted) - 1)
-        return b.filter(pa.array(wanted[pos] == col))
+    filter_sigs = make_id_filter(id_ref, id_col)
 
     # assemble flat CSR-style lookups (sorted ids, offsets, values) in K
     # id-hash shards, each built by a REMOTE task over the materialized
@@ -319,51 +370,21 @@ def verify_pairs_jaccard(
     if content is not None:
         # recompute shingles for candidate ids straight from content — avoids
         # materializing a corpus-wide shingle column on the signature table
-        from quichash_ray.pipelines.ngram import gram_hashes as _gh
-
-        k = cfg.shingle_k
-
-        def shingles_from_content(b: pa.Table) -> pa.Table:
-            wanted = ray.get(id_ref)  # sorted unique
-            col = np.asarray(b[id_col])
-            if len(wanted) == 0:
-                sel = b.slice(0, 0)
-            else:
-                pos = np.clip(
-                    np.searchsorted(wanted, col), 0, len(wanted) - 1
-                )
-                sel = b.filter(pa.array(wanted[pos] == col))
-            ids_out, lists_out = [], []
-            for rid, text in zip(
-                sel[id_col].to_pylist(), sel[text_col].to_pylist()
-            ):
-                ids_out.append(rid)
-                lists_out.append(
-                    _gh((text or "").split(), k).view(np.int64)
-                )
-            flat = (
-                np.concatenate(lists_out) if lists_out else np.empty(0, np.int64)
-            )
-            offs = np.concatenate(
-                ([0], np.cumsum([len(x) for x in lists_out]))
-            ).astype(np.int64)
-            return pa.table(
-                {
-                    id_col: pa.array(ids_out, pa.int64()),
-                    "shingles": pa.LargeListArray.from_arrays(
-                        pa.array(offs, pa.int64()), pa.array(flat, pa.int64())
-                    ),
-                }
-            )
+        from quichash_ray.stages.pairverify import make_shingle_recompute_fn
 
         filtered = content.select_columns([id_col, text_col]).map_batches(
-            shingles_from_content, batch_format="pyarrow", zero_copy_batch=True
+            make_shingle_recompute_fn(id_ref, id_col, text_col, cfg.shingle_k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     else:
         filtered = signatures.select_columns([id_col, "shingles"]).map_batches(
             filter_sigs, batch_format="pyarrow", zero_copy_batch=True
         )
-    n_shards = 8
+    # shard count scales with the session's CPUs: the shard builds are the
+    # only tasks running at this point in the chain (round-1's fixed 8 was
+    # the measured non-scaling stage)
+    n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)))
     filtered = filtered.materialize()
     block_refs = filtered.to_arrow_refs()
 
@@ -371,17 +392,16 @@ def verify_pairs_jaccard(
     def build_shard(shard: int, refs: list):
         import ray as _ray
 
+        from quichash_ray.stages.pairverify import shingle_col_to_csr
+
         tables = _ray.get(refs)
         ids_c, vals_c, lens_c = [], [], []
         for t in tables:
             if t.num_rows == 0:
                 continue
             ids = np.asarray(t[id_col], dtype=np.int64)
-            col = t["shingles"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            vals = np.asarray(col.values, dtype=np.int64)
-            offs = np.asarray(col.offsets, dtype=np.int64)
+            vals, offs = shingle_col_to_csr(t["shingles"])
+            vals = vals.view(np.int64)
             lens = np.diff(offs)
             mask = (ids % n_shards) == shard
             if not mask.any():
@@ -505,26 +525,21 @@ def fuzzy_dedup(
     # stateless tasks with per-worker-process cached state: the permutation
     # table is cheap to build, so task scheduling on the warm worker pool
     # beats actor-pool spin-up; swap in SignatureActor via
-    # map_batches(SignatureActor, concurrency=N) for heavy per-actor state
-    # decide the verification strategy up front: the broadcast verifier's
-    # footprint is bounded by CANDIDATE ids (not the corpus), and Ray's
-    # sort-based shuffle of list columns makes the co-partitioned path
-    # ~10x slower until the candidate shingle set stops fitting in worker
-    # heap (~5M docs); only the distributed tier-2 needs shingles stored
-    # on the signature table.
+    # map_batches(SignatureActor, concurrency=N) for heavy per-actor state.
+    # Verification strategy: the co-partitioned two-tier verifier
+    # (pairverify.py) moves binary-encoded signatures through banded
+    # groupby shuffles — every stage scales with the candidate set. The
+    # broadcast verifier is kept for small jobs (one CSR lookup, no
+    # shuffle) and as the equivalence-test reference. Neither mode stores
+    # shingles corpus-wide: tier-2 / exact verification recomputes them
+    # from rep content for exactly the ids it needs.
     if verify_mode == "auto":
         verify_mode = (
-            "distributed" if corpus.count() > 10_000_000 else "broadcast"
+            "distributed" if corpus.count() > 100_000 else "broadcast"
         )
 
-    # shingle lists are NOT materialized in broadcast mode (they'd be ~4x
-    # the minhash bytes); exact verification recomputes them for candidate
-    # ids only, straight from rep content
     signatures = reps.map_batches(
-        make_signature_fn(
-            cfg, id_col, text_col,
-            keep_shingles=(verify_mode == "distributed"),
-        ),
+        make_signature_fn(cfg, id_col, text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=512,
@@ -541,7 +556,8 @@ def fuzzy_dedup(
         from quichash_ray.stages.pairverify import verify_pairs_distributed
 
         verified = verify_pairs_distributed(
-            candidates.materialize(), signatures, cfg, id_col
+            candidates.materialize(), signatures, cfg, id_col,
+            content=reps, text_col=text_col,
         ).materialize()
     else:
         verified = verify_pairs_jaccard(

@@ -39,6 +39,7 @@ def make_digest_kernel(
     fast_sample_size: int = 100 * 1024 * 1024,
     add_size: bool = True,
     drop_content: bool = False,
+    prefix_col: str | None = None,
 ):
     """Build a ``pa.Table -> pa.Table`` kernel adding one hex-digest column per
     algorithm (column named by canonical algorithm name), plus ``size`` (bytes).
@@ -59,9 +60,29 @@ def make_digest_kernel(
                 None if d is None else fast_sample(d, fast_sample_size)
                 for d in data
             ]
-        for name, fn in fns:
-            hexes = [None if d is None else fn(d).hex() for d in data]
-            batch = batch.append_column(name, pa.array(hexes, pa.string()))
+        for algo_i, (name, fn) in enumerate(fns):
+            raws = [None if d is None else fn(d) for d in data]
+            batch = batch.append_column(
+                name,
+                pa.array(
+                    [None if r is None else r.hex() for r in raws], pa.string()
+                ),
+            )
+            if prefix_col is not None and algo_i == 0:
+                # first 8 digest bytes as int64 — a uniform partition key
+                # downstream shuffles use without re-hashing the hex string
+                batch = batch.append_column(
+                    prefix_col,
+                    pa.array(
+                        [
+                            None
+                            if r is None
+                            else int.from_bytes(r[:8], "big") - (1 << 63)
+                            for r in raws
+                        ],
+                        pa.int64(),
+                    ),
+                )
         if add_size and "size" not in batch.column_names:
             batch = batch.append_column("size", pc.cast(sizes, pa.int64()))
         if fast_mode and "fast_mode" not in batch.column_names:
@@ -84,6 +105,7 @@ def add_digests(
     fast_sample_size: int = 100 * 1024 * 1024,
     drop_content: bool = False,
     batch_size: int = 1024,
+    prefix_col: str | None = None,
 ):
     """``Dataset -> Dataset`` with digest columns appended (streaming)."""
     return ds.map_batches(
@@ -93,6 +115,7 @@ def add_digests(
             fast_mode,
             fast_sample_size,
             drop_content=drop_content,
+            prefix_col=prefix_col,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

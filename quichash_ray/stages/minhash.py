@@ -68,11 +68,19 @@ class SignatureActor:
                 sim |= np.uint64(1) << np.uint64(j)
         return sig, int(sim)
 
+    # L2-blocking target: per-chunk shingle slice (and the one temp vector
+    # the perm loop allocates) stays cache-resident across the 128 MinHash +
+    # 64 SimHash passes. The unblocked kernel streamed ~1.3 MB/row from DRAM
+    # 192 times per batch and saturated memory bandwidth at 32 cores
+    # (round-1 scaling profile: 2.6x at 4x CPUs).
+    _CHUNK_SHINGLES = 24 * 1024  # 192 KB of uint64 per pass
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Batch-vectorized: all docs' shingles concatenate into one array;
         per-doc MinHash minima come from ``np.minimum.reduceat`` per
-        permutation and SimHash bit votes from ``np.add.reduceat`` — no
-        per-row numpy dispatch in the hot loop."""
+        permutation and SimHash bit votes from ``np.add.reduceat``, both
+        applied over L2-sized chunks of documents — no per-row numpy
+        dispatch in the hot loop and no DRAM streaming per pass."""
         cfg = self.cfg
         ids: list[int] = []
         sh_arrays: list[np.ndarray] = []
@@ -93,27 +101,42 @@ class SignatureActor:
         )
         # segment boundaries over non-empty docs only (reduceat needs them)
         ne_lens = lens[nonempty]
-        seg = np.concatenate(([0], np.cumsum(ne_lens)))[:-1]
+        bounds = np.concatenate(([0], np.cumsum(ne_lens)))
         sig = np.full((n, cfg.num_perms), np.iinfo(np.uint64).max, np.uint64)
         sim = np.zeros(n, dtype=np.uint64)
         if len(all_sh):
             ne_idx = np.flatnonzero(nonempty)
-            with np.errstate(over="ignore"):
-                for i in range(cfg.num_perms):
-                    h = self.a[i] * all_sh + self.b[i]
-                    sig[ne_idx, i] = np.minimum.reduceat(h, seg)
-            # simhash: per-bit counts via reduceat over unpacked bits
-            votes = np.empty((len(ne_idx), 64), dtype=np.int64)
-            for j in range(64):
-                bits = ((all_sh >> np.uint64(j)) & np.uint64(1)).astype(
-                    np.int64
+            n_ne = len(ne_idx)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            d0 = 0
+            while d0 < n_ne:
+                # extend the doc chunk until its shingle span exceeds the
+                # L2 target (always at least one doc)
+                d1 = int(
+                    np.searchsorted(
+                        bounds, bounds[d0] + self._CHUNK_SHINGLES, "right"
+                    )
+                ) - 1
+                d1 = max(d1, d0 + 1)
+                s0, s1 = bounds[d0], bounds[d1]
+                sh_c = all_sh[s0:s1]
+                seg_c = bounds[d0:d1] - s0
+                rows = ne_idx[d0:d1]
+                with np.errstate(over="ignore"):
+                    for i in range(cfg.num_perms):
+                        h = self.a[i] * sh_c + self.b[i]
+                        sig[rows, i] = np.minimum.reduceat(h, seg_c)
+                votes = np.empty((d1 - d0, 64), dtype=np.int64)
+                for j in range(64):
+                    bits = ((sh_c >> np.uint64(j)) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    votes[:, j] = np.add.reduceat(bits, seg_c)
+                majority = (2 * votes) > ne_lens[d0:d1, None]
+                sim[rows] = (majority.astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
                 )
-                votes[:, j] = np.add.reduceat(bits, seg)
-            majority = (2 * votes) > ne_lens[:, None]
-            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-            sim[ne_idx] = (majority.astype(np.uint64) * weights[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
+                d0 = d1
         cols = {
             self.id_col: pa.array(ids, pa.int64()),
             "minhash": pa.FixedSizeListArray.from_arrays(
@@ -124,15 +147,18 @@ class SignatureActor:
             "n_shingles": pa.array(lens, pa.int64()),
         }
         if self.keep_shingles:
+            # byte image of each doc's sorted uint64 shingle set — binary
+            # columns move through Ray's sort shuffle as flat buffers
+            # (list<int64> was the measured 10x penalty, NOTES_r1 thread 2)
+            from quichash_ray.stages.pairverify import uint64s_to_binary_rows
+
             offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
             flat = (
-                np.concatenate(sh_arrays).view(np.int64)
-                if n
-                else np.empty(0, np.int64)
+                np.concatenate(sh_arrays)
+                if n and offs[-1]
+                else np.empty(0, np.uint64)
             )
-            cols["shingles"] = pa.LargeListArray.from_arrays(
-                pa.array(offs, pa.int64()), pa.array(flat, pa.int64())
-            )
+            cols["shingles"] = uint64s_to_binary_rows(flat, offs)
         return pa.table(cols)
 
 
