@@ -107,17 +107,28 @@ def exact_stage(
             }
         )
 
-    def assign_rep(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["rep"] = g.groupby(algorithm)[id_col].transform("min")
-        return g[[id_col, "rep"]]
+    def assign_rep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+            )
+        df = g.to_pandas()
+        rep = df.groupby(algorithm)[id_col].transform("min")
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "rep": pa.array(rep.to_numpy(), pa.int64()),
+            }
+        )
 
-    membership = (
-        digests.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(assign_rep, batch_format="pandas")
-        .materialize()
-    )
+    from quichash_ray.stages.exchange import hash_exchange
+
+    membership = hash_exchange(
+        digests.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True),
+        "part",
+        assign_rep,
+        num_parts,
+    ).materialize()
 
     rep_ids = membership.filter(expr=f"{id_col} == rep").select_columns(
         [id_col]
@@ -243,10 +254,14 @@ def combined_candidate_pairs(
 
     _LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
-    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy().astype(np.int64)
-        key = g["key"].to_numpy().astype(np.int64)
-        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    def local_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        key = np.asarray(g["key"], dtype=np.int64)
+        sims = np.asarray(g["simhash"], dtype=np.int64).view(np.uint64)
         order = np.lexsort((ids, key))
         ids, key, sims = ids[order], key[order], sims[order]
         kind = key & 1  # packed kind bit
@@ -277,24 +292,29 @@ def combined_candidate_pairs(
             out_a.append(seg_ids[ia][keep])
             out_b.append(seg_ids[ib][keep])
         if not out_a:
-            return pd.DataFrame(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi}).drop_duplicates(
-        ).reset_index(drop=True)
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
 
-    pairs = bucketed.groupby("part").map_groups(
-        local_pairs, batch_format="pandas"
-    )
+    from quichash_ray.stages.exchange import hash_exchange
+
+    pairs = hash_exchange(bucketed, "part", local_pairs, num_parts)
 
     # global distinct: a near-dup pair surfaces from up to b bands landing in
     # different partitions; at large candidate counts one int-pair shuffle is
     # cheaper than 4-16x redundant verification downstream. Banded again: a
-    # pair hashes to exactly one partition, dedup is a vectorized
-    # drop_duplicates per partition.
+    # pair hashes to exactly one partition, dedup is a vectorized unique per
+    # partition.
     def pair_part(b: pa.Table) -> pa.Table:
         a = np.asarray(b["id_a"], np.int64).view(np.uint64)
         bb = np.asarray(b["id_b"], np.int64).view(np.uint64)
@@ -304,13 +324,26 @@ def combined_candidate_pairs(
             )
         return b.append_column("dpart", pa.array(part.astype(np.int64)))
 
-    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["id_a", "id_b"]].drop_duplicates().reset_index(drop=True)
+    def drop_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        a = np.asarray(g["id_a"], np.int64)
+        b = np.asarray(g["id_b"], np.int64)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq[:, 0], pa.int64()),
+                "id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
 
-    return (
-        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("dpart")
-        .map_groups(drop_dups, batch_format="pandas")
+    return hash_exchange(
+        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True),
+        "dpart",
+        drop_dups,
+        num_parts,
     )
 
 

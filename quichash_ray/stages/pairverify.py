@@ -216,11 +216,15 @@ def _attach_side(
     pair_types = [t for _, t in pair_schema]
 
     def pairs_part(b: pa.Table) -> pa.Table:
+        # fresh table (no carried-over schema metadata — pandas metadata
+        # dicts break Ray's block-schema dedup in the sort reduce)
         key = np.asarray(b[side], dtype=np.int64).view(np.uint64)
         part = ((key * _MULT) >> np.uint64(40)) % np.uint64(num_parts)
-        b = b.append_column("_kind", pa.array(np.ones(b.num_rows, np.int8)))
-        b = b.append_column(data_col, pa.nulls(b.num_rows, pa.large_binary()))
-        return b.append_column("_part", pa.array(part.astype(np.int64)))
+        cols = {n: b[n] for n in pair_names if n != data_col}
+        cols["_kind"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols[data_col] = pa.nulls(b.num_rows, pa.large_binary())
+        cols["_part"] = pa.array(part.astype(np.int64))
+        return pa.table(cols)
 
     def data_part(b: pa.Table) -> pa.Table:
         key = np.asarray(b[id_col], dtype=np.int64).view(np.uint64)
@@ -247,15 +251,27 @@ def _attach_side(
     )
 
     def attach(g: pa.Table) -> pa.Table:
+        keep_cols = [n for n in pair_names if n != data_col]
+
+        def empty_out() -> pa.Table:
+            # schema-independent empty result (an all-empty partition can
+            # arrive with an upstream schema — Ray passes empty blocks
+            # through map_batches without calling the UDF)
+            cols = {
+                n: pa.array([], t)
+                for n, t in zip(pair_names, pair_types)
+                if n != data_col
+            }
+            cols[out_col] = pa.nulls(0, pa.large_binary())
+            return pa.table(cols)
+
+        if g.num_rows == 0 or "_kind" not in g.column_names:
+            return empty_out()
         kind = np.asarray(g["_kind"], dtype=np.int8)
         is_data = kind == 0
         is_pair = kind == 1
-        keep_cols = [
-            n for n in pair_names if n != data_col
-        ]
         if not is_pair.any() or not is_data.any():
-            t = g.slice(0, 0).select(keep_cols)
-            return t.append_column(out_col, pa.nulls(0, pa.large_binary()))
+            return empty_out()
         data_tbl = g.filter(pa.array(is_data))
         pair_tbl = g.filter(pa.array(is_pair))
         d_ids = np.asarray(data_tbl[side], dtype=np.int64)
@@ -272,10 +288,10 @@ def _attach_side(
         out_tbl = pair_tbl.select(keep_cols)
         return out_tbl.append_column(out_col, gathered)
 
-    return (
-        left.union(right)
-        .groupby("_part")
-        .map_groups(attach, batch_format="pyarrow")
+    from quichash_ray.stages.exchange import hash_exchange
+
+    return hash_exchange(
+        [left, right], "_part", attach, num_parts, drop_part=False
     )
 
 
@@ -327,7 +343,22 @@ def verify_pairs_distributed(
     only — nothing corpus-wide is ever stored) when given, else from a
     ``shingles`` column on ``signatures``.
     """
+    import os
+    import time as _time
+
     import ray
+
+    _prof = bool(os.environ.get("QUICHASH_PROFILE"))
+    _t0 = _time.time()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _prof:
+            print(
+                f"[pairverify-profile] {label}: {_time.time() - _t0:.2f}s",
+                flush=True,
+            )
+            _t0 = _time.time()
 
     cfg = cfg or FuzzyConfig()
     thr = cfg.jaccard_threshold
@@ -338,6 +369,7 @@ def verify_pairs_distributed(
     # otherwise every signature row in the corpus rides the shuffle. The id
     # list is ids-only (8B/row); per-block uniques run remotely.
     candidates = candidates.materialize()
+    _mark(f"candidates_materialize({candidates.count()})")
     cand_ids = collect_pair_ids(candidates)
     cand_ref = ray.put(cand_ids)
     if num_parts is None:
@@ -361,6 +393,7 @@ def verify_pairs_distributed(
         .map_batches(sig_to_binary, batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
     )
+    _mark(f"sigs_filtered({len(cand_ids)} ids, P={num_parts})")
     pair_ids_schema = [("id_a", pa.int64()), ("id_b", pa.int64())]
     with_a = _attach_side(
         candidates, sigs, "id_a", id_col, "minhash", "sig_a", num_parts,
@@ -394,13 +427,17 @@ def verify_pairs_distributed(
     classified = with_ab.map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    _mark("attach_sigs+classify")
 
     accepted = classified.filter(expr="state == 2").select_columns(
         ["id_a", "id_b"]
     )
-    borderline = classified.filter(expr="state == 1").select_columns(
-        ["id_a", "id_b"]
-    ).materialize()
+    borderline = (
+        classified.filter(expr="state == 1")
+        .select_columns(["id_a", "id_b"])
+        .materialize()
+    )
+    _mark(f"borderline_materialize({borderline.count()})")
 
     # shingles only for ids appearing in borderline pairs (usually a small
     # fraction of candidates)
@@ -419,6 +456,7 @@ def verify_pairs_distributed(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        needs_mat = True
     else:
 
         def shingle_to_binary(b: pa.Table) -> pa.Table:
@@ -436,6 +474,12 @@ def verify_pairs_distributed(
         ).map_batches(
             shingle_to_binary, batch_format="pyarrow", zero_copy_batch=True
         )
+        needs_mat = True
+    # bounded by borderline ids; materialized so the content scan runs once
+    # (two attach shuffles consume it)
+    if needs_mat:
+        shingle_data = shingle_data.materialize()
+    _mark("shingle_data")
 
     b_a = _attach_side(
         borderline, shingle_data, "id_a", id_col, "shingles", "sh_a", bl_parts,
@@ -450,5 +494,6 @@ def verify_pairs_distributed(
         lambda b: exact_jaccard_filter(b, thr),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+    _mark("tier2_exact")
     return accepted.union(exact_passed)
