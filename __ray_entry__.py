@@ -79,6 +79,20 @@ def _q_analyze_stats(sf_dir: str):
     return analyze_stats(digests)
 
 
+def _q_verify_mixed(sf_dir: str):
+    """Per-entry mixed algorithm/mode verify (verify.rs:302-307): each
+    stored row re-hashed with its own algorithm (md5/sha256 mix) and
+    fast/normal mode (S=64 sampled)."""
+    from quichash_ray.pipelines.dbops import verify_mixed
+    from quichash_ray.pipelines.derived import (
+        dup_planted,
+        mixed_verify_scenario,
+    )
+
+    stored, current = mixed_verify_scenario(dup_planted(_docs(sf_dir)))
+    return verify_mixed(stored, current, fast_sample_size=64)
+
+
 def _q_verify(sf_dir: str):
     from quichash_ray.pipelines.dbops import verify_classify
     from quichash_ray.pipelines.dedup import digest_table
@@ -147,8 +161,11 @@ def _q_fingerprints(sf_dir: str):
 def _q_ngram_jaccard(sf_dir: str):
     from quichash_ray.pipelines.ngram import jaccard_pairs
 
+    # gram_cap=None: the DuckDB oracle computes UNCAPPED pair counts, so the
+    # oracle-checked configuration disables the skew cap (production default
+    # keeps it, with dropped-gram counts on the metrics actor)
     return jaccard_pairs(
-        _docs(sf_dir), k=5, threshold_num=1, threshold_den=2
+        _docs(sf_dir), k=5, threshold_num=1, threshold_den=2, gram_cap=None
     )
 
 
@@ -220,7 +237,11 @@ def _q_events_window_agg(sf_dir: str):
     import pyarrow as pa
     import ray.data
 
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    num_parts = dataset_num_parts(ds, bytes_per_row=32, target_bytes=32 << 20)
 
     def add_window(b: pa.Table) -> pa.Table:
         ts = b["ts"].combine_chunks() if isinstance(
@@ -228,7 +249,7 @@ def _q_events_window_agg(sf_dir: str):
         ) else b["ts"]
         us = np.asarray(ts.cast(pa.int64()))
         hour = (us // 3_600_000_000) * 3_600_000_000
-        part = (hour // 3_600_000_000) % 16
+        part = (hour // 3_600_000_000) % num_parts
         return pa.table(
             {
                 "window_start": pa.array(hour, pa.int64()).cast(
@@ -240,9 +261,19 @@ def _q_events_window_agg(sf_dir: str):
             }
         )
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        df = g.to_pandas()
         out = (
-            g.groupby(["window_start", "event_type"], sort=False)
+            df.groupby(["window_start", "event_type"], sort=False)
             .agg(cnt=("value", "size"), sum_value=("value", "sum"))
             .reset_index()
         )
@@ -250,12 +281,16 @@ def _q_events_window_agg(sf_dir: str):
         # integer cents: float sums are order-dependent in a distributed
         # engine (1e-13 drift vs the oracle); cents are exact
         out["sum_cents"] = (out["sum_value"] * 100).round().astype("int64")
-        return out[["window_start", "event_type", "cnt", "sum_cents"]]
+        return pa.Table.from_pandas(
+            out[["window_start", "event_type", "cnt", "sum_cents"]],
+            preserve_index=False,
+        )
 
-    return (
-        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(agg, batch_format="pandas")
+    return hash_exchange(
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True),
+        "part",
+        agg,
+        num_parts,
     )
 
 
@@ -269,8 +304,12 @@ def _q_events_sessionize(sf_dir: str):
     import pyarrow as pa
     import ray.data
 
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
     gap_us = 30 * 60 * 1_000_000
+    num_parts = dataset_num_parts(ds, bytes_per_row=16, target_bytes=32 << 20)
 
     def add_part(b: pa.Table) -> pa.Table:
         uid = np.asarray(b["user_id"], np.int64)
@@ -278,11 +317,20 @@ def _q_events_sessionize(sf_dir: str):
             {
                 "user_id": b["user_id"],
                 "ts": b["ts"],
-                "part": pa.array(uid % 32, pa.int64()),
+                "part": pa.array(uid % num_parts, pa.int64()),
             }
         )
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+    def sessionize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        g = t.to_pandas()
         g = g.sort_values(["user_id", "ts"])
         ts_us = g["ts"].astype("int64")
         new_user = g["user_id"].ne(g["user_id"].shift())
@@ -298,12 +346,13 @@ def _q_events_sessionize(sf_dir: str):
         )
         out["n_sessions"] = out["n_sessions"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(sessionize, batch_format="pandas")
+    return hash_exchange(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True),
+        "part",
+        sessionize,
+        num_parts,
     )
 
 
@@ -429,13 +478,14 @@ def _q_multimodal_image_features(sf_dir: str):
     return out.map_batches(drop_list, batch_format="pyarrow")
 
 
-def _q_lsh_embedding_neardup(sf_dir: str):
-    """Random-hyperplane LSH-bucketed cosine near-dup (the ANN scale path).
-    Rows-only: bucketing trades recall for scan cost, so no exact oracle."""
-    from quichash_ray.pipelines.similarity import lsh_bucketed_neardup
+def _q_embedding_recall_report(sf_dir: str):
+    """OR-amplified multi-band hyperplane LSH vs exact cosine pairs —
+    one-row recall report (recall_bp = basis points). The pytest gate
+    holds recall ≥ 0.9 at this config."""
+    from quichash_ray.pipelines.similarity import embedding_recall_report
 
-    return lsh_bucketed_neardup(
-        _emb(sf_dir), threshold=0.4, num_planes=4, seed=42
+    return embedding_recall_report(
+        _emb(sf_dir), threshold=0.4, num_planes=4, num_bands=16
     )
 
 
@@ -449,11 +499,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
         "multimodal_image_features": _q_multimodal_image_features,
-        "lsh_embedding_neardup": _q_lsh_embedding_neardup,
+        "embedding_recall_report": _q_embedding_recall_report,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "analyze_stats": _q_analyze_stats,
         "verify_classify": _q_verify,
+        "verify_mixed": _q_verify_mixed,
         "compare_classify": _q_compare,
         "moved_files": _q_moved,
         "multi_digest": _q_multi_digest,
@@ -473,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 from quichash_ray.pipelines.derived import (  # noqa: E402
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
+    MIXED_VERIFY_SCENARIO_SQL,
     VERIFY_SCENARIO_SQL,
 )
 
@@ -522,6 +574,21 @@ def oracle_sql() -> dict[str, str]:
                    s.digest AS expected,
                    c.digest AS actual
             FROM stored s FULL OUTER JOIN current c ON s.path = c.path
+        """,
+        "verify_mixed": f"""
+            WITH {DUP_PLANTED_SQL},
+            {MIXED_VERIFY_SCENARIO_SQL}
+            SELECT coalesce(s.path, c.path) AS path,
+                   CASE WHEN s.path IS NOT NULL AND c.path IS NOT NULL THEN
+                            CASE WHEN r.actual = s.digest THEN 'match'
+                                 ELSE 'mismatch' END
+                        WHEN s.path IS NOT NULL THEN 'missing'
+                        ELSE 'new' END AS status,
+                   s.digest AS expected,
+                   CASE WHEN s.path IS NOT NULL AND c.path IS NOT NULL
+                        THEN r.actual END AS actual
+            FROM stored s FULL OUTER JOIN cur c ON s.path = c.path
+            LEFT JOIN redigest r ON r.path = coalesce(s.path, c.path)
         """,
         "compare_classify": f"""
             WITH {COMPARE_SCENARIO_SQL}

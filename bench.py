@@ -172,41 +172,120 @@ def _single_run(cpus: int) -> None:
     ray.shutdown()
 
 
+def _alu_kernel(i):
+    import numpy as np
+
+    a = np.arange(4096, dtype=np.uint64) | 1
+    x = np.uint64(i * 2 + 1)
+    with np.errstate(over="ignore"):
+        for _ in range(20000):
+            a = a * np.uint64(0x9E3779B97F4A7C15) + x
+    return int(a[0])
+
+
+def _stream_kernel(i):
+    import numpy as np
+
+    a = np.empty(8_000_000, dtype=np.uint64)
+    a[:] = i
+    with np.errstate(over="ignore"):
+        for _ in range(12):
+            a = a * np.uint64(31) + np.uint64(7)
+    return int(a[0])
+
+
+def _platform_baseline(levels: list[int]) -> dict:
+    """The host's own N→4N scaling ceilings, measured with plain
+    multiprocessing (no Ray): a cache-resident integer kernel ("alu") and a
+    64MB-working-set streaming kernel ("stream"). On this virtualized host
+    even pure ALU work scales sub-linearly above ~8 procs; pipeline
+    efficiency must be read against these numbers (BASELINE.md)."""
+    import multiprocessing as mp
+
+    out: dict = {}
+    for name, fn, tasks in (
+        ("alu", _alu_kernel, 256),
+        ("stream", _stream_kernel, 192),
+    ):
+        tput: dict[int, float] = {}
+        for n in levels:
+            with mp.Pool(n) as p:
+                p.map(fn, range(n))  # warm
+                t0 = time.time()
+                p.map(fn, range(tasks), chunksize=2)
+                tput[n] = tasks / (time.time() - t0)
+        out[name] = {
+            "tput": {str(k): round(v, 1) for k, v in tput.items()},
+        }
+    return out
+
+
 def _scaling() -> None:
-    """Same headline job at N and 4N CPUs in FRESH processes — the sandbox
-    proxy for N vs 4N nodes (BASELINE.md protocol)."""
-    _n = max(2, NUM_CPUS // 4)
-    results = {}
-    env = dict(os.environ)
-    for cpus in (_n, NUM_CPUS):
-        # warm the corpus cache first so generation isn't timed
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single-run", str(cpus)],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+    """The scaling-evidence protocol: the headline job at N and 4N CPUs in
+    FRESH processes (sandbox proxy for N vs 4N nodes), at every range in
+    $QUICHASH_SCALING_RANGES (default "4,16;8,32"), interleaved to average
+    host noise, plus the host's own multiprocessing scaling ceilings for
+    context. Results land in BASELINE.md's table."""
+    ranges = [
+        tuple(int(x) for x in r.split(","))
+        for r in os.environ.get("QUICHASH_SCALING_RANGES", "4,16;8,32").split(
+            ";"
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    lo, hi = results[_n], results[NUM_CPUS]
-    tput_lo = lo["rows"] / lo["sec"]
-    tput_hi = hi["rows"] / hi["sec"]
-    ratio = NUM_CPUS / _n
-    eff = (tput_hi / tput_lo) / ratio
+    ]
+    levels = sorted({c for r in ranges for c in r})
+    env = dict(os.environ)
+    secs: dict[int, list[float]] = {c: [] for c in levels}
+    rows_by_cpu: dict[int, int] = {}
+    reps = int(os.environ.get("QUICHASH_SCALING_REPS", "1"))
+    for _ in range(reps):
+        for cpus in levels:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--single-run", str(cpus)],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            secs[cpus].append(r["sec"])
+            rows_by_cpu[cpus] = r["rows"]
+    best = {c: min(v) for c, v in secs.items()}
+    platform = _platform_baseline(levels)
+    range_results = []
+    for lo_c, hi_c in ranges:
+        ratio = hi_c / lo_c
+        eff = (best[lo_c] / best[hi_c]) / ratio
+        alu = platform["alu"]["tput"]
+        alu_eff = (float(alu[str(hi_c)]) / float(alu[str(lo_c)])) / ratio
+        range_results.append(
+            {
+                "num_cpus_low": lo_c,
+                "num_cpus_high": hi_c,
+                "sec_low": round(best[lo_c], 3),
+                "sec_high": round(best[hi_c], 3),
+                "files_per_sec_low": round(rows_by_cpu[lo_c] / best[lo_c], 1),
+                "files_per_sec_high": round(
+                    rows_by_cpu[hi_c] / best[hi_c], 1
+                ),
+                "efficiency": round(eff, 3),
+                "platform_alu_efficiency": round(alu_eff, 3),
+                "platform_normalized": round(min(eff / alu_eff, 1.25), 3),
+            }
+        )
+    headline = range_results[0]
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency (throughput_4N/throughput_N)/4",
-                "value": round(eff, 3),
+                "value": headline["efficiency"],
                 "unit": "efficiency",
                 "sf": os.path.basename(SF_DIR.rstrip("/")),
-                "num_cpus_low": _n,
-                "num_cpus_high": NUM_CPUS,
-                "files_per_sec_low": round(tput_lo, 1),
-                "files_per_sec_high": round(tput_hi, 1),
-                "sec_low": round(lo["sec"], 3),
-                "sec_high": round(hi["sec"], 3),
+                "rows": rows_by_cpu[headline["num_cpus_low"]],
+                "ranges": range_results,
+                "platform": platform,
             }
         )
     )

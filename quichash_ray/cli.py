@@ -183,21 +183,34 @@ def cmd_benchmark(args) -> int:
 
     from quichash_ray.functions.hashes import get_digest_fn, list_algorithms
 
+    from quichash_ray.functions.hashes import is_pure_python_fallback
+
     size = args.size_mb * 1024 * 1024
     rng = np.random.Generator(np.random.Philox(key=[1, 0]))
     data = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+    # algorithms running on the pure-Python fallback (no C wheel in this
+    # environment) get a 1 MB payload — the full default (100 MB) would run
+    # for tens of minutes and look hung; the output marks the fallback
+    small = data[: 1024 * 1024]
     results = []
     for a in list_algorithms():
         fn = get_digest_fn(a.name)
+        fallback = is_pure_python_fallback(a.name)
+        payload = small if fallback else data
         t0 = time.time()
-        fn(data)
+        fn(payload)
         dt = time.time() - t0
         results.append(
-            {"algorithm": a.name, "throughput_mbps": round(args.size_mb / dt, 1)}
+            {
+                "algorithm": a.name,
+                "throughput_mbps": round(len(payload) / (1024 * 1024) / dt, 1),
+                "pure_python": fallback,
+            }
         )
     results.sort(key=lambda r: -r["throughput_mbps"])
     for r in results:
-        print(f"{r['algorithm']:14} {r['throughput_mbps']:>10.1f} MB/s")
+        note = "  (pure-python fallback, 1MB payload)" if r["pure_python"] else ""
+        print(f"{r['algorithm']:14} {r['throughput_mbps']:>10.1f} MB/s{note}")
     return 0
 
 

@@ -25,8 +25,13 @@ FAST_MODE_SAMPLE_SIZE = 100 * 1024 * 1024  # hash.rs:466
 FAST_MODE_THRESHOLD = 3 * FAST_MODE_SAMPLE_SIZE  # hash.rs:467
 
 
-def fast_sample(data: bytes, sample_size: int = FAST_MODE_SAMPLE_SIZE) -> bytes:
-    """The byte string fast mode actually digests (full content when small)."""
+def fast_sample(
+    data: bytes | memoryview, sample_size: int = FAST_MODE_SAMPLE_SIZE
+) -> bytes | memoryview:
+    """The byte string fast mode actually digests (full content when small).
+
+    Accepts a ``memoryview`` (the zero-copy digest path) — only the three
+    sampled windows are copied when concatenation is needed."""
     n = len(data)
     if n < 3 * sample_size:
         return data
@@ -34,6 +39,8 @@ def fast_sample(data: bytes, sample_size: int = FAST_MODE_SAMPLE_SIZE) -> bytes:
     mid_start = max(0, n // 2 - sample_size // 2)
     middle = data[mid_start : mid_start + sample_size]
     last = data[max(0, n - sample_size) : n]
+    if isinstance(data, memoryview):
+        return bytes(first) + bytes(middle) + bytes(last)
     return first + middle + last
 
 

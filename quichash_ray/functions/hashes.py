@@ -149,6 +149,17 @@ def canonical_name(algorithm: str) -> str:
     return low
 
 
+def is_pure_python_fallback(algorithm: str) -> bool:
+    """True when ``algorithm`` runs on the bundled pure-Python
+    implementation (no C wheel in this environment) — parity-only speed."""
+    name = canonical_name(algorithm)
+    if name in ("xxh3", "xxh128"):
+        return _xxhash_c is None
+    if name == "blake3":
+        return _blake3_c is None
+    return False
+
+
 def get_digest_fn(algorithm: str) -> Callable[[bytes], bytes]:
     """Look up a ``bytes -> digest-bytes`` kernel by (aliased) name."""
     return _ALGOS[canonical_name(algorithm)]

@@ -20,6 +20,8 @@ as distributed joins.
 
 from __future__ import annotations
 
+from typing import Any
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,8 +34,21 @@ def _outer_join(
     on: str,
     left_suffix: str,
     right_suffix: str,
-    num_partitions: int,
+    num_partitions: int | None,
 ) -> Dataset:
+    if num_partitions is None:
+        # scale-aware: derive the partition count from the larger side
+        # (~100B/row digest metadata); inputs are materialized first so the
+        # count doesn't re-execute the plan under the join
+        from quichash_ray.stages.partitioning import choose_num_parts
+
+        left = left.materialize()
+        right = right.materialize()
+        num_partitions = choose_num_parts(
+            max(left.count(), right.count()),
+            bytes_per_row=100,
+            target_bytes=64 << 20,
+        )
     return left.join(
         right,
         join_type="full_outer",
@@ -49,7 +64,7 @@ def verify_classify(
     current: Dataset,
     on: str = "path",
     digest_col: str = "digest",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """→ (path, status, expected, actual); status ∈ match|mismatch|missing|new.
 
@@ -93,6 +108,84 @@ def verify_classify(
     return joined.map_batches(classify, batch_format="pyarrow")
 
 
+def verify_mixed(
+    stored: Dataset,
+    current: Dataset,
+    path_col: str = "path",
+    content_col: str = "text",
+    digest_col: str = "digest",
+    algo_col: str = "algorithm",
+    fast_col: str = "fast_mode",
+    fast_sample_size: int | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-entry mixed algorithm/mode verify (verify.rs:302-307): each
+    stored entry is re-hashed with ITS OWN ``algorithm`` and fast/normal
+    ``fast_mode`` — a stored table mixing md5/sha256 and fast-mode rows
+    verifies correctly, where :func:`verify_classify` assumes both sides
+    were digested uniformly.
+
+    ``stored``: (path, digest, algorithm, fast_mode). ``current``:
+    (path, content). → (path, status, expected, actual); status ∈
+    match|mismatch|missing|new. ``actual`` is the re-digest under the
+    stored entry's own algorithm+mode (null for missing/new).
+    """
+    from quichash_ray.functions.fastmode import (
+        FAST_MODE_SAMPLE_SIZE,
+        fast_sample,
+    )
+    from quichash_ray.functions.hashes import canonical_name, get_digest_fn
+
+    S = fast_sample_size or FAST_MODE_SAMPLE_SIZE
+
+    joined = current.select_columns([path_col, content_col]).join(
+        stored.select_columns([path_col, digest_col, algo_col, fast_col]),
+        join_type="full_outer",
+        num_partitions=num_partitions,
+        on=(path_col,),
+        left_suffix="_cur",
+        right_suffix="_st",
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = b[content_col].to_pylist()
+        exps = b[digest_col].to_pylist()
+        algos = b[algo_col].to_pylist()
+        fasts = b[fast_col].to_pylist()
+        fns: dict[str, Any] = {}
+        actual: list[str | None] = []
+        status: list[str] = []
+        for t, e, a, f in zip(texts, exps, algos, fasts):
+            if e is None:
+                actual.append(None)
+                status.append("new")
+                continue
+            if t is None:
+                actual.append(None)
+                status.append("missing")
+                continue
+            name = canonical_name(a)
+            fn = fns.get(name)
+            if fn is None:
+                fn = fns[name] = get_digest_fn(name)
+            data = t.encode("utf-8")
+            if f:
+                data = fast_sample(data, S)
+            d = fn(data).hex()
+            actual.append(d)
+            status.append("match" if d == e else "mismatch")
+        return pa.table(
+            {
+                path_col: b[path_col],
+                "status": pa.array(status, pa.string()),
+                "expected": b[digest_col],
+                "actual": pa.array(actual, pa.string()),
+            }
+        )
+
+    return joined.map_batches(kernel, batch_format="pyarrow")
+
+
 def verify_report(classified: Dataset) -> dict:
     """Aggregate counts — the VerifyReport analog (verify.rs:19-34)."""
     from ray.data.aggregate import Count
@@ -109,7 +202,7 @@ def compare_classify(
     db2: Dataset,
     on: str = "path",
     digest_col: str = "digest",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """→ (path, status, digest1, digest2); status ∈ unchanged|changed|removed|added.
 

@@ -156,6 +156,91 @@ current AS (
 """
 
 
+def mixed_verify_scenario(
+    planted: Dataset, fast_sample_size: int = 64
+) -> tuple[Dataset, Dataset]:
+    """→ (stored, current) for per-entry mixed algorithm/mode verify:
+
+    stored: every D row digested with ITS OWN settings —
+      algorithm = md5 when doc_id%3==0 else sha256,
+      fast_mode = doc_id%4==0 (sampled with S=64; ASCII text)
+    current: the same text mutations as :func:`verify_scenario`
+      (drop copy1 %10 → missing, mutate copy0 %7 → mismatch,
+      add copy3 %11 → new), as TEXT rows (verify re-digests them).
+    """
+    from quichash_ray.functions.fastmode import fast_sample
+    from quichash_ray.functions.hashes import get_digest_fn
+
+    def to_stored(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        fns = {"md5": get_digest_fn("md5"), "sha256": get_digest_fn("sha256")}
+        algos, fasts, digests = [], [], []
+        for i, t in zip(ids, texts):
+            algo = "md5" if i % 3 == 0 else "sha256"
+            fast = i % 4 == 0
+            data = t.encode("utf-8")
+            if fast:
+                data = fast_sample(data, fast_sample_size)
+            algos.append(algo)
+            fasts.append(fast)
+            digests.append(fns[algo](data).hex())
+        return pa.table(
+            {
+                "path": b["path"],
+                "digest": pa.array(digests, pa.string()),
+                "algorithm": pa.array(algos, pa.string()),
+                "fast_mode": pa.array(fasts, pa.bool_()),
+            }
+        )
+
+    stored = planted.map_batches(
+        to_stored, batch_format="pyarrow", zero_copy_batch=True
+    )
+    _, current = verify_scenario(planted)
+    return stored, current
+
+
+# SQL mirror of ``mixed_verify_scenario`` + the per-entry re-digest. The
+# fast-mode sample expression must equal fastmode.fast_sample at S=64
+# (ASCII text: char offsets == byte offsets; DuckDB substr is 1-based).
+_FS = (
+    "CASE WHEN strlen({t}) < 192 THEN {t} "
+    "ELSE substr({t}, 1, 64) || substr({t}, strlen({t})//2 - 31, 64) "
+    "|| substr({t}, strlen({t}) - 63, 64) END"
+)
+
+
+def _mixed_digest_sql(text_expr: str) -> str:
+    fs = _FS.format(t=text_expr)
+    return f"""CASE WHEN doc_id % 3 = 0 THEN
+           CASE WHEN doc_id % 4 = 0 THEN md5({fs}) ELSE md5({text_expr}) END
+       ELSE
+           CASE WHEN doc_id % 4 = 0 THEN sha256({fs}) ELSE sha256({text_expr}) END
+       END"""
+
+
+MIXED_VERIFY_SCENARIO_SQL = f"""
+stored AS (
+    SELECT path, doc_id, {_mixed_digest_sql('text')} AS digest
+    FROM d
+),
+cur AS (
+    SELECT path, doc_id,
+           CASE WHEN copy = 0 AND doc_id % 7 = 0 THEN text || '~MOD'
+                ELSE text END AS text
+    FROM d WHERE NOT (copy = 1 AND doc_id % 10 = 0)
+    UNION ALL
+    SELECT 'doc_' || doc_id || '_3' AS path, doc_id, text || '~NEW' AS text
+    FROM d WHERE copy = 0 AND doc_id % 11 = 0
+),
+redigest AS (
+    SELECT c.path, {_mixed_digest_sql('c.text').replace('doc_id', 's.doc_id')} AS actual
+    FROM cur c JOIN stored s ON s.path = c.path
+)
+"""
+
+
 def compare_scenario(docs: Dataset, text_col: str = "text") -> tuple[Dataset, Dataset]:
     """→ (db1, db2): db1 = one row per document, path 'doc_<id>'.
     db2: doc_id%17==0 dropped (removed); doc_id%7==0 text mutated (changed);

@@ -109,7 +109,7 @@ def gram_totals(shingles: Dataset, id_col: str = "doc_id") -> Dataset:
 def candidate_pair_counts(
     shingles: Dataset,
     id_col: str = "doc_id",
-    gram_cap: int = 256,
+    gram_cap: int | None = 256,
     num_bands: int = 32,
 ) -> Dataset:
     """→ (id_a, id_b, shared): co-occurring gram counts, id_a < id_b.
@@ -123,9 +123,17 @@ def candidate_pair_counts(
 
     ``gram_cap`` drops grams whose document frequency exceeds the cap (hot
     boilerplate → quadratic pair blowup); df is exact within a band because a
-    gram never spans bands. ``num_bands`` is the shuffle-parallelism knob —
-    scale it with cluster size, and raise it further to salt band skew.
+    gram never spans bands. Every dropped gram is counted on the metrics
+    actor (``ngram_dropped_grams`` / ``ngram_dropped_gram_rows``) — no
+    silent caps; pass ``gram_cap=None`` to disable the cap entirely (the
+    oracle-checked configuration). ``num_bands`` is the shuffle-parallelism
+    knob — scale it with cluster size, and raise it further to salt band
+    skew.
     """
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
+    cap = gram_cap if gram_cap is not None else np.iinfo(np.int64).max
 
     def add_band(b: pa.Table) -> pa.Table:
         band = np.asarray(b["gram"]).astype(np.uint64) % np.uint64(num_bands)
@@ -145,7 +153,13 @@ def candidate_pair_counts(
         uniq, start, cnt = np.unique(
             grams, return_index=True, return_counts=True
         )
-        keep = (cnt >= 2) & (cnt <= gram_cap)
+        over = cnt > cap
+        if over.any():
+            metrics.add.remote("ngram_dropped_grams", int(over.sum()))
+            metrics.add.remote(
+                "ngram_dropped_gram_rows", int(cnt[over].sum())
+            )
+        keep = (cnt >= 2) & (cnt <= cap)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         for s, c in zip(start[keep], cnt[keep]):
@@ -181,39 +195,41 @@ def jaccard_pairs(
     threshold_den: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    gram_cap: int = 256,
+    gram_cap: int | None = 256,
     num_partitions: int = 16,
 ) -> Dataset:
     """→ (id_a, id_b, shared, n_a, n_b) for pairs with Jaccard ≥ p/q.
 
     J = shared / (n_a + n_b - shared) ≥ p/q  ⇔  q·shared ≥ p·(n_a+n_b-shared)
     — evaluated in int64 on both engine and oracle.
+
+    Per-doc totals attach via :func:`attach_lookup` — two sorted numpy
+    arrays broadcast once below its limit, a hash-shuffle ``Dataset.join``
+    above it (the 10^8+-doc path); never a driver-side per-row dict.
     """
-    import ray
+    from quichash_ray.stages.lookup import attach_lookup
 
     shingles = shingle_table(ds, k, id_col, text_col)
     totals = gram_totals(shingles, id_col)
     counts = candidate_pair_counts(shingles, id_col, gram_cap)
 
-    # Per-doc totals are one small int per document — broadcast once via
-    # ray.put and look up inside map_batches. (Beyond ~10^8 docs swap this
-    # for two Dataset.joins on id_a / id_b; the broadcast is the fast path
-    # for every realistic partition of the corpus.)
-    totals_dict = {
-        r[id_col]: r["n_grams"] for r in totals.iter_rows()
-    }
-    totals_ref = ray.put(totals_dict)
-
-    def add_totals(b: pa.Table) -> pa.Table:
-        t = ray.get(totals_ref)
-        na = [t.get(x) for x in b["id_a"].to_pylist()]
-        nb = [t.get(x) for x in b["id_b"].to_pylist()]
-        return b.append_column(
-            "n_a", pa.array(na, pa.int64())
-        ).append_column("n_b", pa.array(nb, pa.int64()))
-
-    j2 = counts.map_batches(
-        add_totals, batch_format="pyarrow", zero_copy_batch=True
+    j1 = attach_lookup(
+        counts,
+        totals,
+        key_col="id_a",
+        value_col="n_grams",
+        out_col="n_a",
+        key_col_in_mapping=id_col,
+        num_partitions=num_partitions,
+    )
+    j2 = attach_lookup(
+        j1,
+        totals,
+        key_col="id_b",
+        value_col="n_grams",
+        out_col="n_b",
+        key_col_in_mapping=id_col,
+        num_partitions=num_partitions,
     )
 
     p, q = threshold_num, threshold_den

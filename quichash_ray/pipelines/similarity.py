@@ -1,15 +1,22 @@
 """Similarity search over an embedding column (list<float>).
 
-Brute-force cosine is the exactness baseline: the query-side matrix is tiny,
-so it is broadcast once via ``ray.put`` and every ``map_batches`` task streams
-its batch through one numpy matmul — no shuffle at all. Per-batch partial
-top-k keeps only ``k`` candidates per query per batch; the final exact top-k
-is a single small ``groupby(query_id).map_groups``.
+Brute-force cosine is the exactness baseline. The comparison side never
+touches the driver: a-side blocks are normalized by REMOTE tasks and live in
+plasma; every ``map_batches`` task streams its batch against those block
+refs one at a time (zero-copy same-node gets) — a blocked self-join whose
+peak worker memory is one a-block, with no driver materialization and no
+shuffle. Per-batch partial top-k keeps only ``k`` candidates per query per
+batch; the final exact top-k is a single small groupby.
 
-The scale path (replaces the data-side scan at 10^9+ vectors) is
-``lsh_bucketed_neardup``: random-hyperplane signatures bucket the vectors via
-a groupby shuffle so only same-bucket pairs are compared — same machinery as
-the SimHash text stage.
+The scale path is ``lsh_bucketed_neardup``: OR-amplified random-hyperplane
+LSH — L independent bands of k planes each (planes built once per worker
+process and cached), one banded id-only shuffle to surface same-bucket
+candidate pairs, then exact cosine verification of the (sparse) candidates
+against plasma-resident vector shards. Recall = 1-(1-p^k)^L with
+p = 1 - θ/π; pick k by the target threshold (k=4 for loose thresholds like
+0.4, k=8-12 for production near-dup thresholds ≥0.85) and L for the recall
+target. A pytest gate holds recall ≥ 0.9 vs the exact pairs at the test
+config; ``embedding_recall_report`` reports it per run.
 """
 
 from __future__ import annotations
@@ -29,6 +36,29 @@ def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
+def _normalized_block_refs(
+    ds: Dataset, id_col: str, emb_col: str
+) -> list:
+    """Materialize (id, embedding) and normalize each block REMOTELY —
+    returns refs to (ids int64, unit-norm float64 matrix) tuples in plasma.
+    The driver holds only the refs."""
+    import ray
+
+    @ray.remote
+    def prep(t: pa.Table):
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if len(ids) == 0:
+            return ids, np.empty((0, 1), np.float64)
+        mat = _emb_matrix(t, emb_col)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return ids, mat
+
+    blocks = (
+        ds.select_columns([id_col, emb_col]).materialize().to_arrow_refs()
+    )
+    return [prep.remote(r) for r in blocks]
+
+
 def knn_topk(
     ds: Dataset,
     query_ids: list[int],
@@ -41,15 +71,25 @@ def knn_topk(
     Ties broken by ascending vec_id — deterministic under any parallelism.
     Self-matches excluded.
     """
+    import pyarrow.compute as pc
     import ray
 
-    qset = set(query_ids)
-    q_rows = ds.filter(
-        lambda r: r[id_col] in qset, concurrency=2
-    ).take_all()
-    q_rows.sort(key=lambda r: r[id_col])
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[emb_col] for r in q_rows], dtype=np.float64)
+    qset = pa.array(sorted(query_ids), pa.int64())
+
+    def keep_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=qset))
+
+    filtered = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(keep_queries, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    q_tbl = pa.concat_tables(
+        [ray.get(r) for r in filtered.to_arrow_refs()]
+    )  # query rows only — tiny by contract
+    order = np.argsort(np.asarray(q_tbl[id_col], dtype=np.int64))
+    q_ids = np.asarray(q_tbl[id_col], dtype=np.int64)[order]
+    q_mat = _emb_matrix(q_tbl, emb_col)[order]
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, q_mat))
 
@@ -97,39 +137,47 @@ def knn_topk(
 def cosine_neardup_pairs(
     ds: Dataset,
     threshold: float,
-    a_limit: int,
+    a_limit: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> Dataset:
-    """Embedding near-dup pairs: (a, b) with a < b, a < a_limit and
-    cosine(a, b) >= threshold → (vec_id_a, vec_id_b).
+    """Embedding near-dup pairs: (a, b) with a < b (a < a_limit when given)
+    and cosine(a, b) >= threshold → (vec_id_a, vec_id_b).
 
-    The a-side block (ids < a_limit) is broadcast; the b-side streams. At
-    full scale a_limit-blocking becomes the outer loop of a blocked
-    self-join, or use ``lsh_bucketed_neardup``.
+    Blocked self-join: the a-side is normalized block-by-block by remote
+    tasks into plasma; each b-side batch loops over the a-block refs with
+    zero-copy gets. No driver materialization, no per-row lambdas, no
+    shuffle. At 10^9+ vectors switch to ``lsh_bucketed_neardup``.
     """
     import ray
 
-    a_rows = ds.filter(lambda r: r[id_col] < a_limit, concurrency=2).take_all()
-    a_rows.sort(key=lambda r: r[id_col])
-    a_ids = np.array([r[id_col] for r in a_rows], dtype=np.int64)
-    a_mat = np.array([r[emb_col] for r in a_rows], dtype=np.float64)
-    a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-    a_ref = ray.put((a_ids, a_mat))
+    a_side = (
+        ds if a_limit is None else ds.filter(expr=f"{id_col} < {a_limit}")
+    )
+    a_refs = _normalized_block_refs(a_side, id_col, emb_col)
 
     def find_pairs(batch: pa.Table) -> pa.Table:
-        ids_a, am = ray.get(a_ref)
         vecs = _emb_matrix(batch, emb_col)
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        sims = am @ vecs.T  # (a, n)
         vids = np.asarray(batch[id_col], dtype=np.int64)
-        hit_a, hit_b = np.nonzero(
-            (sims >= threshold) & (ids_a[:, None] < vids[None, :])
-        )
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for ref in a_refs:
+            ids_a, am = ray.get(ref)  # zero-copy same-node
+            if len(ids_a) == 0:
+                continue
+            sims = am @ vecs.T  # (a, n)
+            hit_a, hit_b = np.nonzero(
+                (sims >= threshold) & (ids_a[:, None] < vids[None, :])
+            )
+            out_a.append(ids_a[hit_a])
+            out_b.append(vids[hit_b])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         return pa.table(
             {
-                "vec_id_a": pa.array(ids_a[hit_a], pa.int64()),
-                "vec_id_b": pa.array(vids[hit_b], pa.int64()),
+                "vec_id_a": pa.array(a, pa.int64()),
+                "vec_id_b": pa.array(b, pa.int64()),
             }
         )
 
@@ -138,56 +186,240 @@ def cosine_neardup_pairs(
     )
 
 
+_PLANE_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _band_planes(
+    seed: int, dim: int, num_bands: int, num_planes: int
+) -> np.ndarray:
+    """(num_bands, dim, num_planes) plane tensor — built once per worker
+    process (module cache), seeded per band for independence."""
+    key = (seed, dim, num_bands, num_planes)
+    planes = _PLANE_CACHE.get(key)
+    if planes is None:
+        planes = np.stack(
+            [
+                np.random.Generator(
+                    np.random.Philox(key=[seed, band + 1])
+                ).standard_normal((dim, num_planes))
+                for band in range(num_bands)
+            ]
+        )
+        _PLANE_CACHE[key] = planes
+    return planes
+
+
 def lsh_bucketed_neardup(
     ds: Dataset,
     threshold: float,
-    num_planes: int = 16,
+    num_planes: int = 4,
+    num_bands: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    bucket_cap: int = 2048,
+    bucket_cap: int = 4096,
+    num_parts: int | None = None,
 ) -> Dataset:
-    """Scale path: random-hyperplane LSH bucketing, then exact cosine inside
-    buckets only. Recall < 1 (pairs split across buckets are missed) — the
-    standard trade; raise num_planes bands or repeat with different seeds for
-    higher recall. → (vec_id_a, vec_id_b), a < b, deduplicated.
-    """
+    """Scale path: OR-amplified multi-band hyperplane LSH.
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    Each vector hashes into ``num_bands`` independent buckets (one per
+    band, ``num_planes`` sign bits each); same-bucket id pairs become
+    candidates via one banded id-only shuffle (embeddings do NOT ride the
+    shuffle); candidates are verified with exact cosine against
+    plasma-resident normalized shards. Recall ≈ 1-(1-p^k)^L with
+    p = 1-θ/π. Over-cap buckets are counted on the metrics actor
+    (``ann_dropped_buckets``) — no silent caps.
+    → (vec_id_a, vec_id_b), a < b, deduplicated, cosine-verified.
+    """
+    import ray
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    data = ds.select_columns([id_col, emb_col]).materialize()
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            data, bytes_per_row=num_bands * 16, target_bytes=32 << 20
+        )
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
         vecs = _emb_matrix(batch, emb_col)
-        rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
-        planes = rng.standard_normal((vecs.shape[1], num_planes))
-        bits = (vecs @ planes) >= 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(num_planes):
-            bucket = (bucket << 1) | bits[:, j]
+        n = len(vecs)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "bkey": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        planes = _band_planes(seed, vecs.shape[1], num_bands, num_planes)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keys = np.empty((n, num_bands), dtype=np.uint64)
+        for band in range(num_bands):
+            bits = (vecs @ planes[band]) >= 0
+            code = np.zeros(n, dtype=np.uint64)
+            for j in range(num_planes):
+                code = (code << np.uint64(1)) | bits[:, j].astype(np.uint64)
+            with np.errstate(over="ignore"):
+                keys[:, band] = (
+                    code ^ (np.uint64(band + 1) * np.uint64(0xD1B54A32D192ED03))
+                ) * mult
+        flat_keys = keys.reshape(-1)
+        part = flat_keys % np.uint64(num_parts)
         return pa.table(
             {
-                id_col: batch[id_col],
-                emb_col: batch[emb_col],
-                "bucket": pa.array(bucket, pa.int64()),
+                id_col: pa.array(np.repeat(ids, num_bands), pa.int64()),
+                "bkey": pa.array(flat_keys.view(np.int64), pa.int64()),
+                "part": pa.array(part.astype(np.int64)),
             }
         )
 
-    bucketed = ds.map_batches(
-        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    bucketed = data.map_batches(
+        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype(
-                {"vec_id_a": np.int64, "vec_id_b": np.int64}
+    def local_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        key = np.asarray(g["bkey"], dtype=np.int64)
+        order = np.lexsort((ids, key))
+        ids, key = ids[order], key[order]
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(ids)])))
+        over = counts > bucket_cap
+        if over.any():
+            metrics.add.remote("ann_dropped_buckets", int(over.sum()))
+            metrics.add.remote(
+                "ann_dropped_bucket_rows", int(counts[over].sum())
             )
-        g = g.sort_values(id_col).head(bucket_cap)
-        m = np.array(g[emb_col].tolist(), dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        ids = g[id_col].to_numpy()
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {"vec_id_a": ids[ia].astype(np.int64), "vec_id_b": ids[ib].astype(np.int64)}
+        out_a, out_b = [], []
+        for s, c in zip(starts, counts):
+            if c < 2 or c > bucket_cap:
+                continue
+            seg = ids[s : s + c]
+            ia, ib = np.triu_indices(c, k=1)
+            keep = seg[ia] != seg[ib]
+            out_a.append(seg[ia][keep])
+            out_b.append(seg[ib][keep])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(uniq[:, 0], pa.int64()),
+                "vec_id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
         )
 
-    return bucketed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    candidates = hash_exchange(bucketed, "part", local_pairs, num_parts)
+
+    # global pair dedup (a pair can surface from several bands)
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["vec_id_a"], np.int64).view(np.uint64)
+        bb = np.asarray(b["vec_id_b"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * mult) ^ (bb * np.uint64(0xD1B54A32D192ED03))) % (
+                np.uint64(num_parts)
+            )
+        return b.append_column("dpart", pa.array(part.astype(np.int64)))
+
+    def drop_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+            )
+        a = np.asarray(g["vec_id_a"], np.int64)
+        b = np.asarray(g["vec_id_b"], np.int64)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(uniq[:, 0], pa.int64()),
+                "vec_id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    deduped = hash_exchange(
+        candidates.map_batches(
+            pair_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "dpart",
+        drop_dups,
+        num_parts,
+    )
+
+    # exact cosine verification of the sparse candidate set — vectors come
+    # from plasma-resident normalized shards (never the driver)
+    a_refs = _normalized_block_refs(data, id_col, emb_col)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        shards = [ray.get(r) for r in a_refs]
+        all_ids = np.concatenate([s[0] for s in shards])
+        all_mat = np.concatenate(
+            [s[1] for s in shards if len(s[0])], axis=0
+        )
+        order = np.argsort(all_ids, kind="stable")
+        all_ids = all_ids[order]
+        all_mat = all_mat[order]
+        ia = np.searchsorted(all_ids, np.asarray(b["vec_id_a"], np.int64))
+        ib = np.searchsorted(all_ids, np.asarray(b["vec_id_b"], np.int64))
+        sims = np.einsum("ij,ij->i", all_mat[ia], all_mat[ib])
+        return b.filter(pa.array(sims >= threshold))
+
+    return deduped.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def embedding_recall_report(
+    ds: Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **lsh_kwargs,
+) -> pa.Table:
+    """One-row report: exact vs LSH near-dup pair counts and recall.
+
+    recall_pct is integer basis points /100 (e.g. 9500 = 95.00%) so the
+    value is hash-stable across shuffle orders."""
+    exact = cosine_neardup_pairs(ds, threshold, id_col=id_col, emb_col=emb_col)
+    lsh = lsh_bucketed_neardup(
+        ds, threshold, id_col=id_col, emb_col=emb_col, **lsh_kwargs
+    )
+
+    def pair_set(d: Dataset) -> set:
+        out = set()
+        for b in d.iter_batches(batch_format="pyarrow", batch_size=None):
+            out.update(
+                zip(
+                    np.asarray(b["vec_id_a"], np.int64).tolist(),
+                    np.asarray(b["vec_id_b"], np.int64).tolist(),
+                )
+            )
+        return out
+
+    e = pair_set(exact)
+    l = pair_set(lsh)
+    common = len(e & l)
+    recall_bp = (10000 * common) // len(e) if e else 10000
+    return pa.table(
+        {
+            "n_exact": pa.array([len(e)], pa.int64()),
+            "n_lsh": pa.array([len(l)], pa.int64()),
+            "n_common": pa.array([common], pa.int64()),
+            "recall_bp": pa.array([recall_bp], pa.int64()),
+        }
     )

@@ -66,13 +66,18 @@ def parse_standard(text: str) -> tuple[list[dict], int]:
         if not line.strip():
             continue
         # splitn(4, "  "): only the first three separators split; the path
-        # keeps any further double spaces intact
+        # keeps any further double spaces intact. Each field is trimmed and
+        # empty hash/algorithm/path rejected (database.rs:230-257 parse_line
+        # trims and validates non-empty).
         parts = line.split("  ", 3)
         if len(parts) != 4:
             skipped += 1
             continue
-        digest, algo, mode, path = parts
-        if mode not in ("fast", "normal") or not digest:
+        digest = parts[0].strip()
+        algo = parts[1].strip()
+        mode = parts[2].strip()
+        path = parts[3].strip()
+        if mode not in ("fast", "normal") or not digest or not algo or not path:
             skipped += 1
             continue
         rows.append(
@@ -109,27 +114,31 @@ def parse_hashdeep(text: str) -> tuple[list[dict], int]:
         if len(parts) < 3:
             skipped += 1
             continue
-        size_s = parts[0]
-        # multi-hash rows are size,hash1,...,hashN,filename with filename
-        # LAST (database.rs:333-349); the first hash is the primary digest.
-        # With a header, N is known and any extra commas belong to the
-        # filename; headerless rows assume one hash column.
-        n_hashes = max(1, len(algos)) if algos else 1
-        if len(parts) < 2 + n_hashes:
+        # database.rs:334-401 parse_hashdeep_line: the LAST field is the
+        # filename, the middle fields are hashes. Header algorithm names
+        # apply only when their count matches the hash count; otherwise
+        # each hash's algorithm is inferred from its hex length. The entry
+        # stored is the first non-empty hash (reference keeps
+        # entries.first()). The size field is unused by the reference's
+        # parser — a non-numeric size does NOT skip the row.
+        path = parts[-1].strip()
+        if not path:
             skipped += 1
             continue
-        digest = parts[1]
-        path = ",".join(parts[1 + n_hashes :])
+        hashes = [h.strip() for h in parts[1:-1]]
+        nonempty = [(i, h) for i, h in enumerate(hashes) if h]
+        if not nonempty:
+            skipped += 1
+            continue
+        idx, digest = nonempty[0]
+        if algos and len(algos) == len(hashes):
+            algo = algos[idx]
+        else:
+            algo = infer_algorithm_from_hex(digest) or "unknown"
         try:
-            size = int(size_s)
+            size = int(parts[0].strip())
         except ValueError:
-            skipped += 1
-            continue
-        algo = (
-            algos[0]
-            if algos
-            else (infer_algorithm_from_hex(digest) or "unknown")
-        )
+            size = None
         rows.append(
             {
                 "hash": digest,
@@ -198,8 +207,13 @@ def write_standard_db(
     os.replace(tmp, path)
 
 
-def write_hashdeep_db(rows: list[dict], path: str, algorithm: str = "sha256") -> None:
-    """Emit the hashdeep CSV format (database.rs:146-171)."""
+def write_hashdeep_db(
+    rows: list[dict], path: str, algorithm: str = "sha256",
+    compress: bool = False,
+) -> None:
+    """Emit the hashdeep CSV format (database.rs:146-171); xz level 6 when
+    ``compress`` or the path ends in .xz — the reference compresses any DB
+    format (database.rs:45-78)."""
     lines = [
         "%%%% HASHDEEP-1.0",
         f"%%%% size,{algorithm},filename",
@@ -208,6 +222,8 @@ def write_hashdeep_db(rows: list[dict], path: str, algorithm: str = "sha256") ->
     for r in rows:
         lines.append(f"{r.get('size', 0)},{r['hash']},{r['path']}")
     payload = ("\n".join(lines) + "\n").encode("utf-8")
+    if compress or path.endswith(".xz"):
+        payload = lzma.compress(payload, preset=6)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(payload)

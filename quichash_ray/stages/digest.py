@@ -24,12 +24,40 @@ from quichash_ray.functions.fastmode import fast_sample
 from quichash_ray.functions.hashes import canonical_name, get_digest_fn
 
 
-def _content_bytes(batch: pa.Table, content_col: str) -> tuple[list[bytes | None], pa.Array]:
+def _content_bytes(
+    batch: pa.Table, content_col: str
+) -> tuple[list[memoryview | None], pa.Array]:
+    """Content column → per-row ``memoryview``s over the Arrow data buffer —
+    zero-copy (the old ``to_pylist()`` duplicated every content buffer into
+    Python bytes before hashing; hashlib consumes memoryviews directly)."""
+    import numpy as np
+
     col = batch[content_col]
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         col = pc.cast(col, pa.large_binary())
     combined = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    return combined.to_pylist(), pc.binary_length(combined)
+    if pa.types.is_binary(combined.type):
+        combined = combined.cast(pa.large_binary())
+    sizes = pc.binary_length(combined)
+    n = len(combined)
+    if n == 0:
+        return [], sizes
+    off = np.frombuffer(combined.buffers()[1], dtype=np.int64)[
+        combined.offset : combined.offset + n + 1
+    ]
+    data_buf = combined.buffers()[2]
+    mv = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+    if combined.null_count:
+        valid = np.asarray(combined.is_valid())
+    else:
+        valid = None
+    views: list[memoryview | None] = [
+        mv[off[i] : off[i + 1]]
+        if (valid is None or valid[i])
+        else None
+        for i in range(n)
+    ]
+    return views, sizes
 
 
 def make_digest_kernel(

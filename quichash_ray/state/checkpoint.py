@@ -59,9 +59,16 @@ class CheckpointedPipeline:
             return json.load(f)
 
     def load(self, name: str) -> Dataset:
+        import glob
+
         import ray.data
 
-        return ray.data.read_parquet(self._stage_dir(name))
+        d = self._stage_dir(name)
+        paths = sorted(
+            glob.glob(os.path.join(d, "*.parquet"))
+            + glob.glob(os.path.join(d, "part-*", "*.parquet"))
+        )
+        return ray.data.read_parquet(paths if paths else d)
 
     def run(
         self,
@@ -115,6 +122,85 @@ class CheckpointedPipeline:
         final = self._stage_dir(name)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+        return self.load(name)
+
+    def run_partitioned(
+        self,
+        name: str,
+        part_fn: Callable[[int], Dataset],
+        num_parts: int,
+        input_stages: tuple[str, ...] = (),
+    ) -> Dataset:
+        """Per-partition resume WITHIN a stage: partition ``i``'s output is
+        computed by ``part_fn(i)`` and committed atomically (temp dir →
+        ``part-i`` rename + ``.done`` marker). A run killed mid-stage
+        recomputes only the partitions without markers — the stage-granular
+        ``run()`` restarts the whole stage.
+
+        ``part_fn`` must be deterministic per partition (e.g. one input
+        file / key range per partition) so resumed output ≡ fresh output.
+        """
+        if self.is_done(name):
+            return self.load(name)
+        final = self._stage_dir(name)
+        os.makedirs(final, exist_ok=True)
+        t0 = time.time()
+        computed = 0
+        for i in range(num_parts):
+            marker = os.path.join(final, f"part-{i:05d}.done")
+            pdir = os.path.join(final, f"part-{i:05d}")
+            if os.path.exists(marker):
+                continue
+            tmp = os.path.join(
+                self.workdir, f".tmp-{name}-part{i}-{os.getpid()}"
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            part_fn(i).write_parquet(tmp)
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.rename(tmp, pdir)
+            with open(marker, "w") as f:
+                f.write(_utcnow())
+            computed += 1
+        elapsed = time.time() - t0
+        # stage-level manifest aggregating per-partition outputs
+        import pyarrow.parquet as pq
+
+        files = []
+        rows = 0
+        schema_str = ""
+        for i in range(num_parts):
+            pdir = os.path.join(final, f"part-{i:05d}")
+            for fname in sorted(os.listdir(pdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(pdir, fname)
+                md = pq.read_metadata(fpath)
+                if not schema_str:
+                    schema_str = str(pq.read_schema(fpath))
+                files.append(
+                    {
+                        "name": f"part-{i:05d}/{fname}",
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(fpath),
+                    }
+                )
+                rows += md.num_rows
+        manifest = {
+            "stage": name,
+            "rows": rows,
+            "n_files": len(files),
+            "n_partitions": num_parts,
+            "partitions_computed_this_run": computed,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(rows / elapsed, 1) if elapsed > 0 else None,
+            "written_at": _utcnow(),
+            "input_stages": list(input_stages),
+            "files": files,
+            "schema": schema_str,
+        }
+        with open(os.path.join(final, LINEAGE), "w") as f:
+            json.dump(manifest, f, indent=1)
         return self.load(name)
 
     def invalidate(self, name: str) -> None:
@@ -224,3 +310,37 @@ def checkpointed_fuzzy_dedup(
         return assigned.map_batches(finalize, batch_format="pyarrow")
 
     return cp.run("clusters", _clusters, ("membership", "verified_edges"))
+
+
+def checkpointed_digest_scan(
+    corpus_path: str,
+    workdir: str,
+    algorithms: tuple[str, ...] = ("sha256",),
+    content_col: str = "content",
+) -> Dataset:
+    """The expensive corpus digest scan with per-INPUT-FILE resume: each
+    input Parquet file is one partition of ``run_partitioned`` — a run
+    killed mid-scan re-digests only the files without ``.done`` markers
+    (the reference restarts its whole scan from zero, scan.rs:450-463)."""
+    import glob
+
+    import ray.data
+
+    from quichash_ray.stages.digest import add_digests
+
+    files = (
+        sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))
+        if os.path.isdir(corpus_path)
+        else [corpus_path]
+    )
+    cp = CheckpointedPipeline(workdir)
+
+    def part(i: int) -> Dataset:
+        return add_digests(
+            ray.data.read_parquet(files[i]),
+            list(algorithms),
+            content_col=content_col,
+            drop_content=True,
+        )
+
+    return cp.run_partitioned("digests", part, len(files))

@@ -73,7 +73,11 @@ class TestHashdeep:
         assert skipped == 1
         assert len(rows) == 2
         assert rows[0]["size"] == 1000
-        assert rows[1]["path"] == "dir/file,with,commas.txt"
+        # database.rs:346-349: the LAST comma field is the filename — a
+        # comma-bearing filename is truncated to its final segment (the
+        # preceding segments are treated as hash columns); hashdeep CSV
+        # cannot round-trip commas in paths
+        assert rows[1]["path"] == "commas.txt"
         assert rows[0]["algorithm"] == "sha256"
 
     def test_algo_inferred_from_hex_len(self):
@@ -138,7 +142,9 @@ def test_per_algorithm_counts(ray_session, tmp_path):
 
 def test_hashdeep_multi_hash_columns():
     """Regression (database.rs:333-349): multi-hash rows put the filename
-    LAST; the first hash is the primary digest."""
+    LAST; the first hash is the primary digest. A comma inside a filename
+    shifts the field split (the reference treats the extra segments as
+    hash columns) — filename truncates to the final segment."""
     text = (
         "%%%% HASHDEEP-1.0\n"
         "%%%% size,md5,sha256,filename\n"
@@ -150,7 +156,7 @@ def test_hashdeep_multi_hash_columns():
     assert rows[0]["path"] == "docs/readme.txt"
     assert rows[0]["hash"] == "aaaa"
     assert rows[0]["algorithm"] == "md5"
-    assert rows[1]["path"] == "dir/with,comma.txt"
+    assert rows[1]["path"] == "comma.txt"
 
 
 def test_detect_format_comma_priority():

@@ -1,0 +1,459 @@
+"""Round-2 additions: per-entry mixed verify, OR-amplified ANN recall,
+no-silent-caps metrics, the hash-exchange shuffle, hashdeep parse parity,
+and international-path round-trips (reference
+tests/international_filenames_test.rs:10-247 analog)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# hash_exchange ≡ groupby semantics
+# ---------------------------------------------------------------------------
+
+
+def test_hash_exchange_matches_sort_groupby(ray_session):
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    t = pa.table(
+        {
+            "part": pa.array(rng.integers(0, 13, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(
+        [t.slice(i * 1000, 1000) for i in range(20)]
+    ).materialize()
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        v = np.asarray(g["v"], np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "c": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    fast = hash_exchange(ds, "part", agg, 13).to_pandas()
+    slow = hash_exchange(
+        ds, "part", agg, 13, use_sort_groupby=True
+    ).to_pandas()
+    a = sorted(map(tuple, fast[["s", "c"]].to_numpy().tolist()))
+    b = sorted(map(tuple, slow[["s", "c"]].to_numpy().tolist()))
+    assert a == b
+    # every row accounted for
+    assert sum(c for _, c in a) == n
+
+
+def test_hash_exchange_empty_input(ray_session):
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+
+    t = pa.table(
+        {"part": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+    )
+    ds = ray.data.from_arrow(t).materialize()
+
+    def agg(g: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array([g.num_rows], pa.int64())})
+
+    out = hash_exchange(ds, "part", agg, 8).to_pandas()
+    assert out["c"].sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# per-entry mixed algorithm/mode verify (verify.rs:302-307)
+# ---------------------------------------------------------------------------
+
+
+def test_verify_mixed_statuses(ray_session):
+    import ray.data
+
+    from quichash_ray.functions.fastmode import fast_sample
+    from quichash_ray.pipelines.dbops import verify_mixed
+
+    texts = {
+        "a": "x" * 300,     # fast-mode md5, unchanged -> match
+        "b": "hello world",  # sha256 normal, unchanged -> match
+        "c": "y" * 300,     # sha256 fast, mutated -> mismatch
+        "d": "gone",        # not in current -> missing
+    }
+    S = 64
+    stored_rows = [
+        ("a", hashlib.md5(fast_sample(texts["a"].encode(), S)).hexdigest(),
+         "md5", True),
+        ("b", hashlib.sha256(texts["b"].encode()).hexdigest(),
+         "sha256", False),
+        ("c", hashlib.sha256(fast_sample(texts["c"].encode(), S)).hexdigest(),
+         "sha256", True),
+        ("d", hashlib.sha256(texts["d"].encode()).hexdigest(),
+         "sha256", False),
+    ]
+    stored = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array([r[0] for r in stored_rows]),
+                "digest": pa.array([r[1] for r in stored_rows]),
+                "algorithm": pa.array([r[2] for r in stored_rows]),
+                "fast_mode": pa.array([r[3] for r in stored_rows]),
+            }
+        )
+    )
+    current = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["a", "b", "c", "e"]),
+                "text": pa.array(
+                    [texts["a"], texts["b"], texts["c"] + "!", "newfile"]
+                ),
+            }
+        )
+    )
+    out = verify_mixed(
+        stored, current, fast_sample_size=S
+    ).to_pandas().set_index("path")
+    assert out.loc["a", "status"] == "match"
+    assert out.loc["b", "status"] == "match"
+    assert out.loc["c", "status"] == "mismatch"
+    assert out.loc["d", "status"] == "missing"
+    assert out.loc["e", "status"] == "new"
+    # mismatch actual is the re-digest under the STORED entry's own mode
+    assert out.loc["c", "actual"] == hashlib.sha256(
+        fast_sample((texts["c"] + "!").encode(), S)
+    ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# ANN recall gate (VERDICT #4): OR-amplified multi-band LSH ≥ 0.9 recall
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_ge_090(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.similarity import embedding_recall_report
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rep = embedding_recall_report(
+        ds, threshold=0.4, num_planes=4, num_bands=16
+    )
+    row = rep.to_pylist()[0]
+    assert row["n_exact"] > 0
+    assert row["recall_bp"] >= 9000, row
+    # LSH output is verified exact-cosine, so no false positives
+    assert row["n_common"] == row["n_lsh"]
+
+
+def test_cosine_neardup_no_driver_matches_oracle(ray_session):
+    """Blocked-broadcast cosine pairs == brute-force numpy oracle."""
+    import ray.data
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from quichash_ray.pipelines.similarity import cosine_neardup_pairs
+
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in cosine_neardup_pairs(ds, threshold=0.4).take_all()
+    }
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    emb = tbl["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = np.asarray(emb.flatten(), np.float64).reshape(len(ids), -1)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.4, k=1))
+    want = {
+        (int(min(ids[x], ids[y])), int(max(ids[x], ids[y])))
+        for x, y in zip(ia, ib)
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# no-silent-caps metrics (VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_cap_metrics_counted(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.ngram import candidate_pair_counts, shingle_table
+    from quichash_ray.state.metrics import read_metrics, reset_metrics
+
+    # 40 docs sharing one hot shingle (df=40 > cap=8) plus unique tails
+    docs = [
+        f"common shingle tokens here now unique{i} tail{i} x{i} y{i} z{i}"
+        for i in range(40)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+    )
+    reset_metrics()
+    sh = shingle_table(ds, k=5, id_col="doc_id", text_col="text")
+    counts = candidate_pair_counts(sh, "doc_id", gram_cap=8).materialize()
+    m = read_metrics()
+    assert m.get("ngram_dropped_grams", 0) >= 1, m
+    assert m.get("ngram_dropped_gram_rows", 0) >= 40, m
+    # uncapped run finds more shared grams
+    uncapped = candidate_pair_counts(sh, "doc_id", gram_cap=None).materialize()
+    assert uncapped.count() >= counts.count()
+
+
+# ---------------------------------------------------------------------------
+# hashdeep parse parity (ADVICE, database.rs:334-401)
+# ---------------------------------------------------------------------------
+
+
+def test_hashdeep_last_field_is_filename(tmp_path):
+    from quichash_ray.sources.legacy_db import parse_hashdeep
+
+    md5 = "d" * 32
+    sha = "a" * 64
+    text = "\n".join(
+        [
+            "%%%% HASHDEEP-1.0",
+            "%%%% size,sha256,filename",
+            f"100,{sha},plain.txt",
+            # comma in filename, header count (1) == hash count (1)
+            f"100,{sha},dir,with,commas.txt",
+            # stale header: 2 hashes but header names 1 → per-hash length
+            # inference; first non-empty hash wins (md5 here)
+            f"42,{md5},{sha},multi.bin",
+        ]
+    )
+    rows, skipped = parse_hashdeep(text)
+    assert skipped == 0
+    by_path = {r["path"]: r for r in rows}
+    assert by_path["plain.txt"]["hash"] == sha
+    # the reference takes the LAST field as filename: the middle fields of
+    # the comma-filename row are treated as hashes (empty ones dropped)
+    assert "commas.txt" in by_path
+    assert by_path["multi.bin"]["hash"] == md5
+    assert by_path["multi.bin"]["algorithm"] == "md5"
+
+
+def test_hashdeep_nonnumeric_size_not_skipped():
+    from quichash_ray.sources.legacy_db import parse_hashdeep
+
+    sha = "b" * 64
+    rows, skipped = parse_hashdeep(f"notasize,{sha},file.txt")
+    assert skipped == 0
+    assert rows[0]["size"] is None
+    assert rows[0]["hash"] == sha
+
+
+def test_parse_standard_trims_and_rejects_empty():
+    from quichash_ray.sources.legacy_db import parse_standard
+
+    sha = "c" * 64
+    rows, skipped = parse_standard(
+        # fields carry stray SINGLE spaces around the two-space separators —
+        # the reference trims each field (database.rs:236-241)
+        f"{sha}  sha256   normal  /pad/ded.txt \n"
+        f"{sha}     normal  /x\n"  # empty algorithm field → reject
+    )
+    assert skipped == 1
+    assert rows[0]["algorithm"] == "sha256"
+    assert rows[0]["path"] == "/pad/ded.txt"
+
+
+def test_hashdeep_xz_roundtrip(tmp_path):
+    from quichash_ray.sources.legacy_db import parse_hashdeep, _read_text, write_hashdeep_db
+
+    sha = "e" * 64
+    rows = [{"hash": sha, "path": "α/emoji_📦.txt", "size": 7}]
+    out = str(tmp_path / "db.hashdeep.xz")
+    write_hashdeep_db(rows, out, algorithm="sha256")
+    with open(out, "rb") as f:
+        assert f.read(6) == b"\xfd7zXZ\x00"  # xz magic
+    back, skipped = parse_hashdeep(_read_text(out))
+    assert skipped == 0
+    assert back[0]["hash"] == sha
+    assert back[0]["path"] == "α/emoji_📦.txt"
+
+
+# ---------------------------------------------------------------------------
+# international paths: digest → standard-DB and hashdeep round-trips
+# (reference tests/international_filenames_test.rs:10-247 analog)
+# ---------------------------------------------------------------------------
+
+_INTL_PATHS = [
+    "files/简体中文/文件.txt",
+    "файлы/документ.dat",
+    "ファイル/テスト.bin",
+    "한국어/파일.txt",
+    "αρχεία/δοκιμή.txt",
+    "קבצים/מִבְחָן.txt",           # RTL with niqqud
+    "ملفات/اختبار.txt",            # RTL Arabic
+    "emoji/📁/🎉party🎊.log",
+    "mixed/Ωμέγα-文字-☕.cfg",
+    "देवनागरी/फ़ाइल.txt",
+    "ไทย/ทดสอบ.txt",
+    "tiếng-việt/tệp.txt",
+    "double  space/in  name.txt",
+    "ñandú/año.txt",
+]
+
+
+def test_international_paths_standard_db_roundtrip(tmp_path, ray_session):
+    import ray.data
+
+    from quichash_ray.sources.legacy_db import (
+        parse_standard,
+        _read_text,
+        read_legacy_db,
+        write_standard_db,
+    )
+    from quichash_ray.stages.digest import add_digests
+
+    tbl = pa.table(
+        {
+            "path": pa.array(_INTL_PATHS),
+            "content": pa.array([f"content of {p}" for p in _INTL_PATHS]),
+        }
+    )
+    ds = add_digests(
+        ray.data.from_arrow(tbl), ["sha256"], content_col="content"
+    )
+    rows = [
+        {
+            "hash": r["sha256"],
+            "algorithm": "sha256",
+            "fast_mode": False,
+            "path": r["path"],
+        }
+        for r in ds.take_all()
+    ]
+    out = str(tmp_path / "intl.db")
+    write_standard_db(rows, out)
+    back, skipped = read_legacy_db(out)
+    assert skipped == 0
+    got = {r["path"]: r["hash"] for r in back.take_all()}
+    for p in _INTL_PATHS:
+        exp = hashlib.sha256(f"content of {p}".encode()).hexdigest()
+        assert got[p] == exp, p
+
+
+def test_international_paths_hashdeep_roundtrip(tmp_path):
+    from quichash_ray.sources.legacy_db import (
+        parse_hashdeep,
+        _read_text,
+        write_hashdeep_db,
+    )
+
+    rows = [
+        {
+            "hash": hashlib.sha256(p.encode()).hexdigest(),
+            "path": p,
+            "size": len(p),
+        }
+        for p in _INTL_PATHS
+        if "," not in p  # hashdeep CSV cannot carry commas in filenames
+    ]
+    out = str(tmp_path / "intl.hashdeep")
+    write_hashdeep_db(rows, out)
+    back, skipped = parse_hashdeep(_read_text(out))
+    assert skipped == 0
+    got = {r["path"]: r["hash"] for r in back}
+    for r in rows:
+        assert got[r["path"]] == r["hash"]
+
+
+# ---------------------------------------------------------------------------
+# per-partition resume within a stage (VERDICT #9)
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_resume_equals_fresh(ray_session, corpus_dir, tmp_path):
+    import glob
+
+    import ray.data
+
+    from quichash_ray.state.checkpoint import (
+        CheckpointedPipeline,
+        checkpointed_digest_scan,
+    )
+
+    corpus = os.path.join(corpus_dir, "corpus")
+    n_files = len(glob.glob(os.path.join(corpus, "*.parquet")))
+    assert n_files >= 2, "corpus must span several files for this test"
+
+    # fresh, uninterrupted run
+    fresh = checkpointed_digest_scan(
+        corpus, str(tmp_path / "fresh")
+    ).to_pandas().sort_values("row_id").reset_index(drop=True)
+
+    # killed run: crash after 1 partition, then resume
+    killdir = str(tmp_path / "killed")
+    cp = CheckpointedPipeline(killdir)
+    calls = {"n": 0}
+
+    from quichash_ray.stages.digest import add_digests
+
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
+
+    def crashing_part(i: int):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated mid-stage kill")
+        calls["n"] += 1
+        return add_digests(
+            ray.data.read_parquet(files[i]), ["sha256"],
+            content_col="content", drop_content=True,
+        )
+
+    with pytest.raises(RuntimeError):
+        cp.run_partitioned("digests", crashing_part, len(files))
+    done = glob.glob(os.path.join(killdir, "digests", "part-*.done"))
+    assert len(done) == 1  # exactly one partition committed before the kill
+
+    resumed = checkpointed_digest_scan(
+        corpus, killdir
+    ).to_pandas().sort_values("row_id").reset_index(drop=True)
+    assert resumed.equals(fresh)
+    # lineage records that the resumed run computed only the remainder
+    man = cp.lineage("digests")
+    assert man["partitions_computed_this_run"] == len(files) - 1
+
+
+# ---------------------------------------------------------------------------
+# scale-aware partition counts (VERDICT #2): P grows with N
+# ---------------------------------------------------------------------------
+
+
+def test_choose_num_parts_grows_with_input():
+    from quichash_ray.stages.partitioning import MAX_PARTS, MIN_PARTS, choose_num_parts
+
+    small = choose_num_parts(10_000, bytes_per_row=64)
+    large = choose_num_parts(1_000_000_000, bytes_per_row=64)
+    huge = choose_num_parts(10**12, bytes_per_row=64)
+    assert small == MIN_PARTS
+    assert large > small
+    assert huge > large
+    assert huge <= MAX_PARTS
+    # a group's byte target holds: rows/P * bytes_per_row ≈ target
+    p = choose_num_parts(10**9, bytes_per_row=64, target_bytes=64 << 20)
+    assert abs((10**9 * 64 / p) - (64 << 20)) / (64 << 20) < 0.1
