@@ -228,7 +228,7 @@ def _scaling() -> None:
     context. Results land in BASELINE.md's table."""
     ranges = [
         tuple(int(x) for x in r.split(","))
-        for r in os.environ.get("QUICHASH_SCALING_RANGES", "4,16;8,32").split(
+        for r in os.environ.get("QUICHASH_SCALING_RANGES", "2,8;4,16;8,32").split(
             ";"
         )
     ]
