@@ -489,6 +489,19 @@ def _q_embedding_recall_report(sf_dir: str):
     )
 
 
+def _q_ivf_recall_report(sf_dir: str):
+    """IVF (coarse k-means quantizer, nprobe multi-assignment) vs exact
+    cosine pairs — one-row recall report. Second ANN scale path beside the
+    hyperplane-LSH one; at the loose test threshold (0.4) nprobe=4/16
+    cells reaches recall ≥0.98, production near-dup thresholds (≥0.85)
+    need nprobe 1-2."""
+    from quichash_ray.pipelines.similarity import embedding_recall_report
+
+    return embedding_recall_report(
+        _emb(sf_dir), threshold=0.4, method="ivf", nlist=16, nprobe=4
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -500,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "multimodal_image_features": _q_multimodal_image_features,
         "embedding_recall_report": _q_embedding_recall_report,
+        "ivf_recall_report": _q_ivf_recall_report,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "analyze_stats": _q_analyze_stats,

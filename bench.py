@@ -98,7 +98,10 @@ def run_suite() -> dict:
     hl_sec, hl_rows = run_headline()
     timings["fuzzy_dedup_corpus"] = round(hl_sec, 3)
     rows["fuzzy_dedup_corpus"] = hl_rows
+    from quichash_ray.state.metrics import read_metrics
+
     return {
+        "cap_metrics": read_metrics(),  # no-silent-caps: dropped buckets/grams
         "metric": "fuzzy_dedup_corpus wall time (sec); per-query secs in 'queries'",
         "value": round(hl_sec, 3),
         "unit": "sec",

@@ -35,47 +35,83 @@ def digest_table(
     """content table → (key_cols..., digest, size); content projected away."""
     ds = add_digests(
         ds, [algorithm], content_col=content_col, drop_content=True,
-        batch_size=batch_size,
+        batch_size=batch_size, prefix_col="_dp",
     )
 
     def rename(b: pa.Table) -> pa.Table:
         b = b.rename_columns(
             [("digest" if c == algorithm else c) for c in b.column_names]
         )
-        keep = [*key_cols, "digest", "size"]
+        # _dp: int64 digest prefix emitted by the digest kernel — the
+        # downstream banded aggregations partition on it without re-hashing
+        # the hex string; it never appears in user-facing output
+        keep = [*key_cols, "digest", "size", "_dp"]
         return b.select([c for c in keep if c in b.column_names])
 
     return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _banded_digest_agg(digests: Dataset, agg_fn, num_parts: int = 64) -> Dataset:
-    """Partition by ``crc32(digest) % P`` then aggregate per partition with a
-    vectorized pandas groupby — a digest never spans partitions, so the
-    partition-local aggregate is globally exact. Avoids a full sort of the
-    64-char digest strings (Ray's groupby is sort-based), which stops
-    scaling well beyond ~10^6 rows."""
-    import zlib
-
+def _banded_digest_agg(
+    digests: Dataset, agg_fn, num_parts: int | None = None
+) -> Dataset:
+    """Partition by digest prefix (the int64 ``_dp`` column the digest
+    kernel emits for free; crc32-of-hex fallback for external tables) then
+    aggregate per partition with a vectorized pandas groupby — a digest
+    never spans partitions, so the partition-local aggregate is globally
+    exact. P derives from the input row count (~100B/row digest metadata);
+    pass ``num_parts`` explicitly to keep a huge input streaming instead of
+    counting it. Runs on the two-stage hash exchange (sort-free)."""
     import numpy as np
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    digests = digests.materialize()
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            digests, bytes_per_row=100, target_bytes=32 << 20
+        )
+    P = num_parts
 
     def add_part(b: pa.Table) -> pa.Table:
         # rows with null digest (null content) are excluded from grouping —
-        # the skip-and-count discipline; they would otherwise crash crc32
+        # the skip-and-count discipline
         b = b.filter(pa.compute.is_valid(b["digest"]))
-        part = np.fromiter(
-            (
-                zlib.crc32(d.encode()) % num_parts
-                for d in b["digest"].to_pylist()
-            ),
-            np.int64,
-            b.num_rows,
-        )
+        if "_dp" in b.column_names:
+            dp = np.asarray(b["_dp"], dtype=np.int64).view(np.uint64)
+            mult = np.uint64(0x9E3779B97F4A7C15)
+            part = ((dp * mult) >> np.uint64(40)) % np.uint64(P)
+            part = part.astype(np.int64)
+            b = b.drop_columns(["_dp"])
+        else:  # external digest table without the prefix column
+            import zlib
+
+            part = np.fromiter(
+                (
+                    zlib.crc32(d.encode()) % P
+                    for d in b["digest"].to_pylist()
+                ),
+                np.int64,
+                b.num_rows,
+            )
         return b.append_column("part", pa.array(part))
 
-    return (
-        digests.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(agg_fn, batch_format="pandas")
+    def agg_arrow(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if g.num_rows == 0:
+            g = g  # agg_fn handles the empty frame
+        return pa.Table.from_pandas(
+            agg_fn(g.to_pandas()), preserve_index=False
+        )
+
+    return hash_exchange(
+        digests.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "part",
+        agg_arrow,
+        num_parts,
     )
 
 

@@ -209,6 +209,133 @@ def _band_planes(
     return planes
 
 
+
+def _pairs_from_buckets(
+    bucketed: Dataset,
+    num_parts: int,
+    bucket_cap: int,
+    metrics,
+    metric_prefix: str,
+    id_col: str,
+) -> Dataset:
+    """(id, bkey, part) bucket rows → deduplicated candidate (vec_id_a,
+    vec_id_b) pairs via one banded id-only exchange; over-cap buckets are
+    counted on the metrics actor — no silent caps."""
+    from quichash_ray.stages.exchange import hash_exchange
+
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def local_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        key = np.asarray(g["bkey"], dtype=np.int64)
+        order = np.lexsort((ids, key))
+        ids, key = ids[order], key[order]
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(ids)])))
+        over = counts > bucket_cap
+        if over.any():
+            metrics.add.remote(f"{metric_prefix}_dropped_buckets", int(over.sum()))
+            metrics.add.remote(
+                f"{metric_prefix}_dropped_bucket_rows", int(counts[over].sum())
+            )
+        out_a, out_b = [], []
+        for st, c in zip(starts, counts):
+            if c < 2 or c > bucket_cap:
+                continue
+            seg = ids[st : st + c]
+            ia, ib = np.triu_indices(c, k=1)
+            keep = seg[ia] != seg[ib]
+            out_a.append(seg[ia][keep])
+            out_b.append(seg[ib][keep])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(uniq[:, 0], pa.int64()),
+                "vec_id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    candidates = hash_exchange(bucketed, "part", local_pairs, num_parts)
+
+    # global pair dedup (a pair can surface from several buckets)
+    def pair_part(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["vec_id_a"], np.int64).view(np.uint64)
+        bb = np.asarray(b["vec_id_b"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * mult) ^ (bb * np.uint64(0xD1B54A32D192ED03))) % (
+                np.uint64(num_parts)
+            )
+        return b.append_column("dpart", pa.array(part.astype(np.int64)))
+
+    def drop_dups(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+            )
+        a = np.asarray(g["vec_id_a"], np.int64)
+        b = np.asarray(g["vec_id_b"], np.int64)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(uniq[:, 0], pa.int64()),
+                "vec_id_b": pa.array(uniq[:, 1], pa.int64()),
+            }
+        )
+
+    return hash_exchange(
+        candidates.map_batches(
+            pair_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "dpart",
+        drop_dups,
+        num_parts,
+    )
+
+
+def _exact_verify_pairs(
+    data: Dataset,
+    pairs: Dataset,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+) -> Dataset:
+    """Exact cosine verification of a sparse candidate-pair set — vectors
+    come from plasma-resident normalized shards (never the driver)."""
+    import ray
+
+    a_refs = _normalized_block_refs(data, id_col, emb_col)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        shards = [ray.get(r) for r in a_refs]
+        all_ids = np.concatenate([sh[0] for sh in shards])
+        all_mat = np.concatenate(
+            [sh[1] for sh in shards if len(sh[0])], axis=0
+        )
+        order = np.argsort(all_ids, kind="stable")
+        all_ids = all_ids[order]
+        all_mat = all_mat[order]
+        ia = np.searchsorted(all_ids, np.asarray(b["vec_id_a"], np.int64))
+        ib = np.searchsorted(all_ids, np.asarray(b["vec_id_b"], np.int64))
+        sims = np.einsum("ij,ij->i", all_mat[ia], all_mat[ib])
+        return b.filter(pa.array(sims >= threshold))
+
+    return pairs.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def lsh_bucketed_neardup(
     ds: Dataset,
     threshold: float,
@@ -282,106 +409,108 @@ def lsh_bucketed_neardup(
     bucketed = data.map_batches(
         bucket_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+    deduped = _pairs_from_buckets(
+        bucketed, num_parts, bucket_cap, metrics, "ann", id_col
+    )
+    return _exact_verify_pairs(data, deduped, threshold, id_col, emb_col)
 
-    def local_pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+
+def ivf_bucketed_neardup(
+    ds: Dataset,
+    threshold: float,
+    nlist: int = 32,
+    nprobe: int = 2,
+    train_rows: int = 10_000,
+    kmeans_iters: int = 15,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_cap: int = 8192,
+    num_parts: int | None = None,
+) -> Dataset:
+    """IVF scale path: coarse k-means quantizer → inverted-list buckets →
+    exact cosine inside (multi-probed) cells.
+
+    Train: Lloyd's k-means on a bounded ``train_rows`` sample (the standard
+    IVF recipe — training is sample-based at any scale; the sample is the
+    only driver-resident data). Assign: every vector lands in its
+    ``nprobe`` nearest cells (multi-assignment plays the role of
+    OR-amplification: a near-dup pair straddling a cell boundary still
+    meets in the runner-up cell). Candidates then flow through the same
+    banded id-only exchange + exact-cosine verification as the LSH path.
+    Over-cap cells are counted under ``ivf_dropped_buckets``.
+    → (vec_id_a, vec_id_b), a < b, deduplicated, cosine-verified.
+    """
+    import ray
+
+    from quichash_ray.stages.partitioning import dataset_num_parts
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
+    data = ds.select_columns([id_col, emb_col]).materialize()
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            data, bytes_per_row=nprobe * 16, target_bytes=32 << 20
         )
-        if g.num_rows == 0:
-            return empty
-        ids = np.asarray(g[id_col], dtype=np.int64)
-        key = np.asarray(g["bkey"], dtype=np.int64)
-        order = np.lexsort((ids, key))
-        ids, key = ids[order], key[order]
-        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
-        counts = np.diff(np.concatenate((starts, [len(ids)])))
-        over = counts > bucket_cap
-        if over.any():
-            metrics.add.remote("ann_dropped_buckets", int(over.sum()))
-            metrics.add.remote(
-                "ann_dropped_bucket_rows", int(counts[over].sum())
-            )
-        out_a, out_b = [], []
-        for s, c in zip(starts, counts):
-            if c < 2 or c > bucket_cap:
-                continue
-            seg = ids[s : s + c]
-            ia, ib = np.triu_indices(c, k=1)
-            keep = seg[ia] != seg[ib]
-            out_a.append(seg[ia][keep])
-            out_b.append(seg[ib][keep])
-        if not out_a:
-            return empty
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
-        return pa.table(
-            {
-                "vec_id_a": pa.array(uniq[:, 0], pa.int64()),
-                "vec_id_b": pa.array(uniq[:, 1], pa.int64()),
-            }
-        )
 
-    candidates = hash_exchange(bucketed, "part", local_pairs, num_parts)
+    # --- train the coarse quantizer on a deterministic bounded sample ----
+    sample_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in data.limit(train_rows).materialize().to_arrow_refs()
+        ]
+    )
+    sample = _emb_matrix(sample_tbl, emb_col)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    k = min(nlist, len(sample))
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)  # cosine on unit vecs
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    cent_ref = ray.put(centroids)
 
-    # global pair dedup (a pair can surface from several bands)
-    def pair_part(b: pa.Table) -> pa.Table:
-        a = np.asarray(b["vec_id_a"], np.int64).view(np.uint64)
-        bb = np.asarray(b["vec_id_b"], np.int64).view(np.uint64)
-        with np.errstate(over="ignore"):
-            part = ((a * mult) ^ (bb * np.uint64(0xD1B54A32D192ED03))) % (
-                np.uint64(num_parts)
-            )
-        return b.append_column("dpart", pa.array(part.astype(np.int64)))
-
-    def drop_dups(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
+    # --- inverted-list assignment: nprobe cells per vector ---------------
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        vecs = _emb_matrix(batch, emb_col)
+        n = len(vecs)
+        if n == 0:
             return pa.table(
-                {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "bkey": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
             )
-        a = np.asarray(g["vec_id_a"], np.int64)
-        b = np.asarray(g["vec_id_b"], np.int64)
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ cents.T  # (n, k)
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        bkey = top.reshape(-1).astype(np.int64)
+        part = bkey.view(np.uint64) % np.uint64(num_parts)
         return pa.table(
             {
-                "vec_id_a": pa.array(uniq[:, 0], pa.int64()),
-                "vec_id_b": pa.array(uniq[:, 1], pa.int64()),
+                id_col: pa.array(np.repeat(ids, p), pa.int64()),
+                "bkey": pa.array(bkey, pa.int64()),
+                "part": pa.array(part.astype(np.int64)),
             }
         )
 
-    deduped = hash_exchange(
-        candidates.map_batches(
-            pair_part, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        "dpart",
-        drop_dups,
-        num_parts,
+    bucketed = data.map_batches(
+        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-
-    # exact cosine verification of the sparse candidate set — vectors come
-    # from plasma-resident normalized shards (never the driver)
-    a_refs = _normalized_block_refs(data, id_col, emb_col)
-
-    def verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
-        shards = [ray.get(r) for r in a_refs]
-        all_ids = np.concatenate([s[0] for s in shards])
-        all_mat = np.concatenate(
-            [s[1] for s in shards if len(s[0])], axis=0
-        )
-        order = np.argsort(all_ids, kind="stable")
-        all_ids = all_ids[order]
-        all_mat = all_mat[order]
-        ia = np.searchsorted(all_ids, np.asarray(b["vec_id_a"], np.int64))
-        ib = np.searchsorted(all_ids, np.asarray(b["vec_id_b"], np.int64))
-        sims = np.einsum("ij,ij->i", all_mat[ia], all_mat[ib])
-        return b.filter(pa.array(sims >= threshold))
-
-    return deduped.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
+    deduped = _pairs_from_buckets(
+        bucketed, num_parts, bucket_cap, metrics, "ivf", id_col
     )
+    return _exact_verify_pairs(data, deduped, threshold, id_col, emb_col)
 
 
 def embedding_recall_report(
@@ -389,15 +518,18 @@ def embedding_recall_report(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    **lsh_kwargs,
+    method: str = "lsh",
+    **ann_kwargs,
 ) -> pa.Table:
-    """One-row report: exact vs LSH near-dup pair counts and recall.
+    """One-row report: exact vs ANN (``method``: lsh | ivf) near-dup pair
+    counts and recall.
 
-    recall_pct is integer basis points /100 (e.g. 9500 = 95.00%) so the
-    value is hash-stable across shuffle orders."""
+    recall_bp is integer basis points (e.g. 9500 = 95.00%) so the value is
+    hash-stable across shuffle orders."""
     exact = cosine_neardup_pairs(ds, threshold, id_col=id_col, emb_col=emb_col)
-    lsh = lsh_bucketed_neardup(
-        ds, threshold, id_col=id_col, emb_col=emb_col, **lsh_kwargs
+    ann_fn = lsh_bucketed_neardup if method == "lsh" else ivf_bucketed_neardup
+    lsh = ann_fn(
+        ds, threshold, id_col=id_col, emb_col=emb_col, **ann_kwargs
     )
 
     def pair_set(d: Dataset) -> set:

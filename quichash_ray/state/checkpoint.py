@@ -106,10 +106,13 @@ class CheckpointedPipeline:
                 }
             )
             rows += md.num_rows
+        from quichash_ray.state.metrics import read_metrics
+
         manifest = {
             "stage": name,
             "rows": rows,
             "n_files": len(files),
+            "cap_metrics": read_metrics(),  # dropped buckets/grams so far
             "elapsed_sec": round(elapsed, 3),
             "rows_per_sec": round(rows / elapsed, 1) if elapsed > 0 else None,
             "written_at": _utcnow(),

@@ -517,3 +517,17 @@ def test_null_content_rows_are_singleton_clusters(ray_session):
     assert len(out) == 22  # null rows NOT silently dropped
     assert out.loc[out["row_id"] == 20, "cluster_id"].iloc[0] == 20
     assert out.loc[out["row_id"] == 21, "cluster_id"].iloc[0] == 21
+
+
+def test_ivf_recall_ge_090(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.similarity import embedding_recall_report
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    row = embedding_recall_report(
+        ds, threshold=0.4, method="ivf", nlist=16, nprobe=4
+    ).to_pylist()[0]
+    assert row["n_exact"] > 0
+    assert row["recall_bp"] >= 9000, row
+    assert row["n_common"] == row["n_lsh"]  # exact-cosine verified: no FPs
