@@ -106,14 +106,36 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_verify(args) -> int:
+    import pyarrow as pa
     import ray.data
 
-    from quichash_ray.pipelines.dbops import verify_classify, verify_report
+    from quichash_ray.pipelines.dbops import (
+        verify_classify,
+        verify_mixed,
+        verify_report,
+    )
 
     _init_ray(args.num_cpus)
     stored = ray.data.read_parquet(args.stored)
     current = ray.data.read_parquet(args.current)
-    classified = verify_classify(stored, current).materialize()
+    if args.mixed:
+        # per-entry algorithm/mode verify (verify.rs:302-307): stored must
+        # carry (path, digest|hash, algorithm, fast_mode); current carries
+        # raw content to re-digest per row
+        def normalize(b: pa.Table) -> pa.Table:
+            if "digest" not in b.column_names and "hash" in b.column_names:
+                b = b.rename_columns(
+                    ["digest" if c == "hash" else c for c in b.column_names]
+                )
+            return b
+
+        classified = verify_mixed(
+            stored.map_batches(normalize, batch_format="pyarrow"),
+            current,
+            content_col=args.content_col,
+        ).materialize()
+    else:
+        classified = verify_classify(stored, current).materialize()
     if args.output:
         classified.write_parquet(args.output)
     print(json.dumps({**verify_report(classified), **_meta()}))
@@ -249,6 +271,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stored", required=True)
     sp.add_argument("--current", required=True)
     sp.add_argument("--output", default=None)
+    sp.add_argument(
+        "--mixed",
+        action="store_true",
+        help="re-hash each stored entry with its own algorithm + fast mode "
+        "(current must be a content table)",
+    )
+    sp.add_argument("--content-col", default="text")
     sp.set_defaults(fn=cmd_verify)
 
     sp = sub.add_parser("compare", help="digest table vs digest table")

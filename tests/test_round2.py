@@ -531,3 +531,44 @@ def test_ivf_recall_ge_090(ray_session):
     assert row["n_exact"] > 0
     assert row["recall_bp"] >= 9000, row
     assert row["n_common"] == row["n_lsh"]  # exact-cosine verified: no FPs
+
+
+def test_cli_verify_mixed(tmp_path, ray_session, capsys):
+    import argparse
+
+    import pyarrow.parquet as pq
+
+    from quichash_ray.cli import cmd_verify
+
+    sha = hashlib.sha256(b"same").hexdigest()
+    md5 = hashlib.md5(b"other").hexdigest()
+    pq.write_table(
+        pa.table(
+            {
+                "path": pa.array(["a", "b"]),
+                "hash": pa.array([sha, md5]),  # legacy-DB column name
+                "algorithm": pa.array(["sha256", "md5"]),
+                "fast_mode": pa.array([False, False]),
+            }
+        ),
+        str(tmp_path / "stored.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"path": pa.array(["a", "b"]), "text": pa.array(["same", "changed"])}
+        ),
+        str(tmp_path / "current.parquet"),
+    )
+    args = argparse.Namespace(
+        num_cpus=None,
+        stored=str(tmp_path / "stored.parquet"),
+        current=str(tmp_path / "current.parquet"),
+        output=None,
+        mixed=True,
+        content_col="text",
+    )
+    assert cmd_verify(args) == 0
+    import json as _json
+
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["match"] == 1 and rep["mismatch"] == 1
