@@ -453,11 +453,13 @@ def _q_corpus_substring_spans(sf_dir: str):
 
 
 def _q_multimodal_image_features(sf_dir: str):
-    """Actor-pool media feature extraction (decode stubbed — codec libs not
-    in container; Ray plumbing real). Rows-only."""
+    """Actor-pool media feature extraction: raw-RGB payload decode + real
+    vectorized descriptors (channel stats, luminance histogram, block-mean
+    thumbnail); only the compressed-codec decode is absent (no PIL in this
+    container). Rows-only."""
     from quichash_ray.stages.multimodal import image_features, synthetic_media
 
-    out = image_features(synthetic_media(200, seed=42), out_dim=32)
+    out = image_features(synthetic_media(200, seed=42))
     import pyarrow as pa
 
     def drop_list(b: pa.Table) -> pa.Table:

@@ -415,6 +415,43 @@ def lsh_bucketed_neardup(
     return _exact_verify_pairs(data, deduped, threshold, id_col, emb_col)
 
 
+
+def _train_centroids(
+    data: Dataset,
+    nlist: int,
+    train_rows: int,
+    kmeans_iters: int,
+    seed: int,
+    emb_col: str,
+) -> np.ndarray:
+    """Lloyd's k-means (cosine, unit sphere) on a deterministic bounded
+    sample — the standard IVF training recipe; the sample is the only
+    driver-resident data at any corpus scale."""
+    import ray
+
+    sample_tbl = pa.concat_tables(
+        [
+            ray.get(r)
+            for r in data.limit(train_rows).materialize().to_arrow_refs()
+        ]
+    )
+    sample = _emb_matrix(sample_tbl, emb_col)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    k = min(nlist, len(sample))
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
 def ivf_bucketed_neardup(
     ds: Dataset,
     threshold: float,
@@ -453,28 +490,9 @@ def ivf_bucketed_neardup(
             data, bytes_per_row=nprobe * 16, target_bytes=32 << 20
         )
 
-    # --- train the coarse quantizer on a deterministic bounded sample ----
-    sample_tbl = pa.concat_tables(
-        [
-            ray.get(r)
-            for r in data.limit(train_rows).materialize().to_arrow_refs()
-        ]
+    cent_ref = ray.put(
+        _train_centroids(data, nlist, train_rows, kmeans_iters, seed, emb_col)
     )
-    sample = _emb_matrix(sample_tbl, emb_col)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    k = min(nlist, len(sample))
-    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(sample @ centroids.T, axis=1)  # cosine on unit vecs
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    centroids[c] = m / n
-    cent_ref = ray.put(centroids)
 
     # --- inverted-list assignment: nprobe cells per vector ---------------
     def bucket_rows(batch: pa.Table) -> pa.Table:
@@ -511,6 +529,107 @@ def ivf_bucketed_neardup(
         bucketed, num_parts, bucket_cap, metrics, "ivf", id_col
     )
     return _exact_verify_pairs(data, deduped, threshold, id_col, emb_col)
+
+
+
+
+def ivf_knn(
+    ds: Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_rows: int = 10_000,
+    kmeans_iters: int = 15,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Approximate cosine top-k via IVF: each query probes its ``nprobe``
+    nearest cells and only same-cell data vectors are scored — the scan is
+    pruned to ~nprobe/nlist of the corpus per query instead of all of it.
+    Output shape matches :func:`knn_topk` (query_id, vec_id, rank); ranks
+    are exact within the probed cells.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    data = ds.select_columns([id_col, emb_col]).materialize()
+    centroids = _train_centroids(
+        data, nlist, train_rows, kmeans_iters, seed, emb_col
+    )
+
+    qset = pa.array(sorted(query_ids), pa.int64())
+
+    def keep_queries(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[id_col], value_set=qset))
+
+    filtered = (
+        data.map_batches(
+            keep_queries, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    )
+    q_tbl = pa.concat_tables([ray.get(r) for r in filtered.to_arrow_refs()])
+    order = np.argsort(np.asarray(q_tbl[id_col], dtype=np.int64))
+    q_ids = np.asarray(q_tbl[id_col], dtype=np.int64)[order]
+    q_mat = _emb_matrix(q_tbl, emb_col)[order]
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # probe membership matrix: (n_queries, nlist) bool
+    q_sims = q_mat @ centroids.T
+    p = min(nprobe, q_sims.shape[1])
+    probe_cells = np.argpartition(-q_sims, p - 1, axis=1)[:, :p]
+    probe_mat = np.zeros((len(q_ids), centroids.shape[0]), dtype=bool)
+    probe_mat[np.arange(len(q_ids))[:, None], probe_cells] = True
+    q_ref = ray.put((q_ids, q_mat, probe_mat, centroids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qm, probes, cents = ray.get(q_ref)
+        vecs = _emb_matrix(batch, emb_col)
+        if len(vecs) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cell = np.argmax(vecs @ cents.T, axis=1)  # (n,)
+        sims = qm @ vecs.T  # (q, n)
+        allowed = probes[:, cell]  # (q, n)
+        vids = np.asarray(batch[id_col], dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            row = sims[qi]
+            mask = allowed[qi] & (vids != qid)
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            sel = cand_idx[np.lexsort((vids[cand_idx], -row[cand_idx]))[:k]]
+            out_q.extend([qid] * len(sel))
+            out_v.extend(vids[sel].tolist())
+            out_s.extend(row[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = data.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", id_col, "rank"]]
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas"
+    )
 
 
 def embedding_recall_report(

@@ -1,16 +1,22 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
-The decode/resize/frame-sample kernels require codec libraries (PIL, soundfile,
-av) that are NOT in this container, so the *codec step* is stubbed behind a
-deterministic fake (or raises when strictness is requested). Everything
-Ray-side is real and tested: schema, actor-pool stage shape, batch sizing for
-large binary payloads, metadata extraction, and output layout.
+The *codec* step (JPEG/PNG/OGG decode) requires libraries (PIL, soundfile,
+av) that are NOT in this container, so payloads here use uncompressed raw
+layouts — images as ``width × height × 3`` uint8 RGB buffers, audio as
+int16 mono PCM — and the "decode" is a numpy reinterpretation. Everything
+downstream of decode is REAL signal processing on the raw arrays
+(vectorized channel statistics, luminance histograms, block-mean
+thumbnails, per-frame RMS energy, zero-crossing rates), and everything
+Ray-side is real and tested: schema, actor-pool stage shape, batch sizing
+for large binary payloads, and output layout. A codec decoder (PIL etc.)
+drops in behind ``_decode_image`` / ``_decode_audio`` without touching any
+other line.
 
 Design notes for 100 TB media:
 - binary payloads stay in ``large_binary`` columns; batches MUST be small
   (``batch_size`` 8-32) so batch × concurrency fits worker heap;
 - decoders are actor pools (model/codec init in ``__init__``) —
-  ``map_batches(ImageDecodeActor, concurrency=N, batch_size=16, num_cpus=1)``;
+  ``map_batches(ImageFeatureActor, concurrency=N, batch_size=16, num_cpus=1)``;
 - decoded features are fixed-size numeric columns; the binary column is
   dropped immediately after feature extraction (wide-record discipline).
 """
@@ -18,7 +24,6 @@ Design notes for 100 TB media:
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
@@ -47,39 +52,93 @@ def media_schema() -> pa.Schema:
     )
 
 
-def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: a feature vector derived
-    from the payload digest. Replaces PIL/librosa decoding in this container;
-    the real kernel drops in behind the same signature."""
-    h = hashlib.sha256(payload).digest()
-    seed = struct.unpack("<Q", h[:8])[0]
-    rng = np.random.Generator(np.random.Philox(key=[seed % (1 << 63), 1]))
-    return rng.standard_normal(out_dim).astype(np.float32)
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Raw-RGB "decode": payload is a width×height×3 uint8 buffer (the
+    uncompressed PPM-style layout). Short buffers tile deterministically,
+    so metadata-driven shapes always decode — a codec library replaces
+    only this function. → (h, w, 3) uint8."""
+    need = width * height * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, np.uint8)
+    if len(buf) < need:
+        buf = np.tile(buf, need // len(buf) + 1)
+    return buf[:need].reshape(height, width, 3)
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """Raw-PCM "decode": payload is int16 little-endian mono samples.
+    → float32 waveform in [-1, 1]."""
+    n = len(payload) - (len(payload) % 2)
+    if n == 0:
+        return np.zeros(1, np.float32)
+    return (
+        np.frombuffer(payload[:n], dtype="<i2").astype(np.float32) / 32768.0
+    )
+
+
+_THUMB = 4  # thumbnail side
+_HIST_BINS = 8
+
+# feature layout: 3 channel means + 3 channel stds + 8-bin luminance
+# histogram + 4x4 gray thumbnail = 30 dims
+IMAGE_FEATURE_DIM = 3 + 3 + _HIST_BINS + _THUMB * _THUMB
+
+
+def image_feature_vector(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → 30-dim float32 descriptor — real, vectorized
+    statistics (means/stds per channel, normalized luminance histogram,
+    block-mean gray thumbnail)."""
+    f = img.astype(np.float32) / 255.0
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    lum = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    hist, _ = np.histogram(lum, bins=_HIST_BINS, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / max(1, lum.size)
+    h, w = lum.shape
+    ys = np.linspace(0, h, _THUMB + 1, dtype=np.int64)
+    xs = np.linspace(0, w, _THUMB + 1, dtype=np.int64)
+    thumb = np.empty((_THUMB, _THUMB), np.float32)
+    for i in range(_THUMB):
+        for j in range(_THUMB):
+            block = lum[ys[i] : max(ys[i + 1], ys[i] + 1),
+                        xs[j] : max(xs[j + 1], xs[j] + 1)]
+            thumb[i, j] = block.mean() if block.size else 0.0
+    return np.concatenate([means, stds, hist, thumb.reshape(-1)]).astype(
+        np.float32
+    )
 
 
 class ImageFeatureActor:
-    """Actor-pool stage: binary image payloads → feature vectors.
+    """Actor-pool stage: binary image payloads → 30-dim feature vectors.
 
-    ``__init__`` is where a real model/codec loads once per actor; with no
-    codec libs installed it configures the deterministic fake (or raises if
-    ``strict``)."""
+    ``__init__`` is where a real model/codec loads once per actor; without
+    codec libs the raw-RGB decoder runs (``strict=True`` raises instead,
+    making the missing-codec condition explicit)."""
 
-    def __init__(self, out_dim: int = 64, strict: bool = False):
-        self.out_dim = out_dim
+    def __init__(self, strict: bool = False):
+        self.out_dim = IMAGE_FEATURE_DIM
         if strict and not _HAS_PIL:
             raise NotImplementedError(
-                "image decoding requires PIL, which is not installed in "
-                "this container — the stage stub runs with strict=False"
+                "codec image decoding requires PIL, which is not installed "
+                "in this container — raw-RGB payloads decode with "
+                "strict=False"
             )
-        self.use_real = _HAS_PIL and strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
         feats = []
-        for payload in batch["payload"].to_pylist():
-            feats.append(
-                _fake_decode(payload or b"", self.out_dim)
-            )
-        mat = np.stack(feats) if feats else np.empty((0, self.out_dim), np.float32)
+        for payload, w, h in zip(
+            batch["payload"].to_pylist(), widths, heights
+        ):
+            img = _decode_image(payload or b"", max(1, w or 1), max(1, h or 1))
+            feats.append(image_feature_vector(img))
+        mat = (
+            np.stack(feats)
+            if feats
+            else np.empty((0, self.out_dim), np.float32)
+        )
         out = batch.drop_columns(["payload"])  # drop the fat column NOW
         return out.append_column(
             "features",
@@ -90,39 +149,67 @@ class ImageFeatureActor:
 
 
 class AudioFrameSampleActor:
-    """Actor-pool stage: audio payloads → fixed count of sampled 'frames'
-    (deterministic byte-range sampling — the fast-mode sampling pattern
-    applied to media; real decode drops in per actor)."""
+    """Actor-pool stage: PCM audio payloads → per-frame RMS energy +
+    zero-crossing rate (real DSP over evenly sampled frames) plus a
+    deterministic frame digest (the fast-mode sampling pattern applied to
+    media)."""
 
-    def __init__(self, n_frames: int = 8, frame_bytes: int = 256):
+    def __init__(self, n_frames: int = 8, frame_samples: int = 512):
         self.n_frames = n_frames
-        self.frame_bytes = frame_bytes
+        self.frame_samples = frame_samples
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        digests = []
+        rms_rows, zcr, digests = [], [], []
         for payload in batch["payload"].to_pylist():
-            p = payload or b""
-            n = len(p)
+            wave = _decode_audio(payload or b"")
+            n = len(wave)
             step = max(1, n // self.n_frames)
             frames = [
-                p[i * step : i * step + self.frame_bytes]
+                wave[i * step : i * step + self.frame_samples]
                 for i in range(self.n_frames)
             ]
-            digests.append(hashlib.sha256(b"".join(frames)).hexdigest())
+            rms_rows.append(
+                np.array(
+                    [
+                        float(np.sqrt(np.mean(fr**2))) if len(fr) else 0.0
+                        for fr in frames
+                    ],
+                    np.float32,
+                )
+            )
+            zcr.append(
+                float(np.mean(np.abs(np.diff(np.signbit(wave))))) if n > 1 else 0.0
+            )
+            digests.append(
+                hashlib.sha256(
+                    b"".join(fr.tobytes() for fr in frames)
+                ).hexdigest()
+            )
         out = batch.drop_columns(["payload"])
+        mat = (
+            np.stack(rms_rows)
+            if rms_rows
+            else np.empty((0, self.n_frames), np.float32)
+        )
+        out = out.append_column(
+            "frame_rms",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), self.n_frames
+            ),
+        )
+        out = out.append_column("zcr", pa.array(zcr, pa.float64()))
         return out.append_column(
             "frame_digest", pa.array(digests, pa.string())
         )
 
 
 def image_features(
-    ds: Dataset, out_dim: int = 64, concurrency: int = 4, batch_size: int = 16
+    ds: Dataset, concurrency: int = 4, batch_size: int = 16
 ) -> Dataset:
     """Media table → (media_id, kind, ..., features) via an actor pool with
     media-sized batches."""
     return ds.map_batches(
         ImageFeatureActor,
-        fn_constructor_kwargs={"out_dim": out_dim},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -143,26 +230,49 @@ def audio_frame_digests(
 
 
 def synthetic_media(n: int, seed: int = 42):
-    """Deterministic fake media table matching :func:`media_schema`."""
+    """Deterministic fake media table matching :func:`media_schema` —
+    image payloads are true raw-RGB buffers sized width×height×3; audio
+    payloads are int16 PCM sine-plus-noise."""
     import ray.data
 
     rng = np.random.Generator(np.random.Philox(key=[seed, 9]))
     kinds = ["image", "audio", "video"]
-    rows = {
-        "media_id": list(range(n)),
-        "kind": [kinds[i % 3] for i in range(n)],
-        "mime": ["application/octet-stream"] * n,
-        "payload": [
-            rng.integers(0, 256, size=int(rng.integers(100, 5000)), dtype=np.uint8)
-            .tobytes()
-            for _ in range(n)
-        ],
-        "width": [int(rng.integers(16, 4096)) for _ in range(n)],
-        "height": [int(rng.integers(16, 4096)) for _ in range(n)],
-        "duration_ms": [int(rng.integers(0, 60000)) for _ in range(n)],
-    }
+    payloads, widths, heights, durations = [], [], [], []
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w = int(rng.integers(8, 48))
+            h = int(rng.integers(8, 48))
+            payloads.append(
+                rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+            )
+            widths.append(w)
+            heights.append(h)
+            durations.append(0)
+        else:
+            n_samp = int(rng.integers(500, 4000))
+            t = np.arange(n_samp, dtype=np.float32)
+            freq = float(rng.uniform(0.01, 0.2))
+            wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(
+                n_samp
+            ).astype(np.float32)
+            payloads.append(
+                np.clip(wave * 32767, -32768, 32767)
+                .astype("<i2")
+                .tobytes()
+            )
+            widths.append(0)
+            heights.append(0)
+            durations.append(int(n_samp / 16))
     t = pa.table(
-        {name: pa.array(rows[name], typ) for name, typ in
-         zip(media_schema().names, media_schema().types)}
+        {
+            "media_id": pa.array(list(range(n)), pa.int64()),
+            "kind": pa.array([kinds[i % 3] for i in range(n)], pa.string()),
+            "mime": pa.array(["application/octet-stream"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durations, pa.int32()),
+        }
     )
     return ray.data.from_arrow(t)

@@ -25,11 +25,13 @@ def test_schema_shape():
 
 def test_image_features_pipeline(ray_session):
     ds = synthetic_media(60, seed=42)
-    out = image_features(ds, out_dim=32, concurrency=2, batch_size=8)
+    out = image_features(ds, concurrency=2, batch_size=8)
     df = out.to_pandas()
     assert len(df) == 60
     assert "payload" not in df.columns  # fat column dropped post-extract
-    assert all(len(v) == 32 for v in df["features"])
+    from quichash_ray.stages.multimodal import IMAGE_FEATURE_DIM
+
+    assert all(len(v) == IMAGE_FEATURE_DIM for v in df["features"])
 
 
 def test_features_deterministic(ray_session):
@@ -50,3 +52,47 @@ def test_audio_frame_digests(ray_session):
 def test_strict_mode_raises_without_codecs():
     with pytest.raises(NotImplementedError):
         ImageFeatureActor(strict=True)
+
+
+def test_image_feature_vector_semantics():
+    """The descriptor is real signal statistics, not a hash fake."""
+    import numpy as np
+    import pytest as _pt
+
+    from quichash_ray.stages.multimodal import image_feature_vector
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 255  # solid red
+    v = image_feature_vector(img)
+    assert v[0] == _pt.approx(1.0) and v[1] == 0.0 and v[2] == 0.0  # means
+    assert v[3] == _pt.approx(0.0)  # std of a constant channel
+    hist = v[6:14]
+    assert hist.sum() == _pt.approx(1.0)
+    assert hist[2] == _pt.approx(1.0)  # luminance 0.299 → bin 2 of 8
+    thumb = v[14:30]
+    assert np.allclose(thumb, 0.299, atol=1e-3)
+
+
+def test_audio_frame_rms_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.stages.multimodal import audio_frame_digests
+
+    # constant-amplitude sine: every frame RMS ≈ 0.5/sqrt(2)
+    t = np.arange(8192, dtype=np.float32)
+    wave = 0.5 * np.sin(2 * np.pi * 0.05 * t)
+    payload = (wave * 32767).astype("<i2").tobytes()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "payload": pa.array([payload], pa.large_binary()),
+            }
+        )
+    )
+    row = audio_frame_digests(ds, concurrency=1, batch_size=4).take_all()[0]
+    rms = np.array(row["frame_rms"])
+    assert np.allclose(rms, 0.5 / np.sqrt(2), atol=0.02)
+    assert 0.0 < row["zcr"] < 0.5

@@ -572,3 +572,25 @@ def test_cli_verify_mixed(tmp_path, ray_session, capsys):
 
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["match"] == 1 and rep["mismatch"] == 1
+
+
+def test_ivf_knn_recall_at_5(ray_session):
+    """IVF pruned top-k vs exact top-k: recall@5 ≥ 0.8 at nprobe=8/nlist=16
+    on the (weakly clustered) test embeddings — clustered production
+    embeddings need far fewer probes."""
+    import ray.data
+
+    from quichash_ray.pipelines.similarity import ivf_knn, knn_topk
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_topk(ds, list(range(10)), k=5).take_all()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn(
+            ds, list(range(10)), k=5, nlist=16, nprobe=8
+        ).take_all()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
