@@ -294,6 +294,79 @@ def _q_events_window_agg(sf_dir: str):
     )
 
 
+def _q_events_hopping_agg(sf_dir: str):
+    """Hopping-window aggregate (size 1h, hop 30min): each event lands in
+    two overlapping windows — the sliding-window analog of the tumbling
+    aggregate, expressed as a 2x row expansion + the same banded exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    num_parts = dataset_num_parts(ds, bytes_per_row=64, target_bytes=32 << 20)
+    H = 3_600_000_000
+    HALF = H // 2
+
+    def expand(b: pa.Table) -> pa.Table:
+        ts = b["ts"].combine_chunks() if isinstance(
+            b["ts"], pa.ChunkedArray
+        ) else b["ts"]
+        us = np.asarray(ts.cast(pa.int64()))
+        ws1 = (us // H) * H
+        ws2 = ((us - HALF) // H) * H + HALF
+        ws = np.concatenate([ws1, ws2])
+        et = pa.concat_arrays(
+            [b["event_type"].combine_chunks()] * 2
+            if isinstance(b["event_type"], pa.ChunkedArray)
+            else [b["event_type"], b["event_type"]]
+        )
+        val = np.tile(np.asarray(b["value"], np.float64), 2)
+        part = (ws // HALF) % num_parts
+        return pa.table(
+            {
+                "window_start": pa.array(ws, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": et,
+                "value": pa.array(val, pa.float64()),
+                "part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "event_type": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        df = g.to_pandas()
+        out = (
+            df.groupby(["window_start", "event_type"], sort=False)
+            .agg(cnt=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        out["sum_cents"] = (out["sum_value"] * 100).round().astype("int64")
+        return pa.Table.from_pandas(
+            out[["window_start", "event_type", "cnt", "sum_cents"]],
+            preserve_index=False,
+        )
+
+    return hash_exchange(
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        "part",
+        agg,
+        num_parts,
+    )
+
+
 def _q_events_sessionize(sf_dir: str):
     """Session windows over the events log (30-min inactivity gap): the
     stream-shaped workload expressed batch-mode — events partition by
@@ -513,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_wasted_groups": _q_top_wasted_groups,
         "events_window_agg": _q_events_window_agg,
         "events_sessionize": _q_events_sessionize,
+        "events_hopping_agg": _q_events_hopping_agg,
         "multimodal_image_features": _q_multimodal_image_features,
         "embedding_recall_report": _q_embedding_recall_report,
         "ivf_recall_report": _q_ivf_recall_report,
@@ -666,6 +740,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(ns)::BIGINT AS n_sessions,
                    count(*)::BIGINT AS n_events
             FROM marks GROUP BY 1
+        """,
+        "events_hopping_agg": """
+            SELECT ws AS window_start, event_type,
+                   count(*)::BIGINT AS cnt,
+                   round(sum(value) * 100)::BIGINT AS sum_cents
+            FROM (
+                SELECT date_trunc('hour', ts) AS ws, event_type, value
+                FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts - INTERVAL 30 MINUTE)
+                           + INTERVAL 30 MINUTE AS ws,
+                       event_type, value
+                FROM events
+            ) GROUP BY 1, 2
         """,
         "events_window_agg": """
             SELECT date_trunc('hour', ts) AS window_start,

@@ -181,6 +181,9 @@ def per_algorithm_counts(db: Dataset) -> Dataset:
 
         import numpy as np
 
+        # 16 partitions is keyed to the ALGORITHM CATALOG cardinality
+        # (hashes.py registers ~15 algorithms), not to data volume — the
+        # group count can never exceed algorithms × 2 modes
         part = np.fromiter(
             (
                 zlib.crc32(a.encode()) % 16
