@@ -15,10 +15,13 @@ text. ``str.split()`` additionally splits on *Unicode* whitespace
 document containing them merely yields a slightly different shingle set
 through both signature and verification paths (both use this kernel).
 
-Throughput motivation: the per-row Python path (``to_pylist`` → ``split``
-→ dict-memoized ``zlib.crc32`` per token) was ~45% of the signature
-stage's time and its allocation traffic the main DRAM load; this kernel
-touches each content byte O(1) times in numpy.
+Status: an AVAILABLE alternative kernel, equivalence-tested but NOT wired
+into the production paths — measured on the synthetic (Zipfian-vocabulary)
+corpus, the memoized per-row path (``split`` + dict-cached ``zlib.crc32``)
+is faster because token cache hits dominate; this kernel wins when the
+vocabulary is large enough to defeat the memo (see NOTES_r2.md). Swap it
+into ``SignatureActor``/``make_shingle_recompute_fn`` behind the same
+(flat, offsets) contract when profiling shows tokenization dominating.
 """
 
 from __future__ import annotations
@@ -122,6 +125,12 @@ def batch_gram_hashes(
         )
     lo, hi = doc_off[0], doc_off[-1]
     win = buf[lo:hi]
+    if len(win) == 0:  # sliced window covering only empty/null docs
+        return (
+            np.empty(0, np.uint64),
+            np.zeros(n_docs + 1, np.int64),
+            valid,
+        )
     is_ws = _WS_LUT[win]
     nonws = ~is_ws
     # token starts/ends, with forced breaks at document boundaries (the

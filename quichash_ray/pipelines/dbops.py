@@ -117,7 +117,7 @@ def verify_mixed(
     algo_col: str = "algorithm",
     fast_col: str = "fast_mode",
     fast_sample_size: int | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Per-entry mixed algorithm/mode verify (verify.rs:302-307): each
     stored entry is re-hashed with ITS OWN ``algorithm`` and fast/normal
@@ -138,7 +138,16 @@ def verify_mixed(
 
     S = fast_sample_size or FAST_MODE_SAMPLE_SIZE
 
-    joined = current.select_columns([path_col, content_col]).join(
+    cur_side = current.select_columns([path_col, content_col])
+    if num_partitions is None:
+        from quichash_ray.stages.partitioning import choose_num_parts
+
+        cur_side = cur_side.materialize()
+        # content rides this join — size partitions to the fat side
+        num_partitions = choose_num_parts(
+            cur_side.count(), bytes_per_row=2048, target_bytes=64 << 20
+        )
+    joined = cur_side.join(
         stored.select_columns([path_col, digest_col, algo_col, fast_col]),
         join_type="full_outer",
         num_partitions=num_partitions,

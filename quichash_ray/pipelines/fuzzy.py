@@ -45,6 +45,7 @@ def exact_stage(
     text_col: str = "content",
     algorithm: str = "sha256",
     num_parts: int | None = None,
+    n_rows: int | None = None,
 ):
     """→ (membership, reps): membership(id, rep) maps every row to its
     exact-dup representative (min id per digest); reps = corpus rows whose
@@ -52,6 +53,8 @@ def exact_stage(
 
     Null-content rows keep a membership row with ``rep = row_id`` (singleton
     cluster) — skip-and-count discipline without silently dropping ids.
+    Pass ``n_rows`` when known to avoid a ``count()`` that would re-execute
+    a lazy (non-read) corpus plan.
     """
     from quichash_ray.stages.digest import add_digests
     from quichash_ray.stages.lookup import semi_join_broadcast
@@ -60,7 +63,9 @@ def exact_stage(
     if num_parts is None:
         # ~90B/row through the shuffle (id + hex digest + part)
         num_parts = choose_num_parts(
-            corpus.count(), bytes_per_row=90, target_bytes=32 << 20
+            n_rows if n_rows is not None else corpus.count(),
+            bytes_per_row=90,
+            target_bytes=32 << 20,
         )
 
     digests = add_digests(
@@ -551,7 +556,11 @@ def fuzzy_dedup(
             _t[0] = now
 
     cfg = cfg or FuzzyConfig()
-    membership, reps = exact_stage(corpus, id_col, text_col)
+    # ONE count serves partition sizing and verify-mode choice (a lazy
+    # non-read corpus would otherwise re-execute per count — round-1
+    # lineage-re-execution pitfall; read_parquet counts from metadata)
+    n_rows = corpus.count()
+    membership, reps = exact_stage(corpus, id_col, text_col, n_rows=n_rows)
     membership = membership.materialize()
     _mark("exact_stage")
 
@@ -567,9 +576,7 @@ def fuzzy_dedup(
     # shingles corpus-wide: tier-2 / exact verification recomputes them
     # from rep content for exactly the ids it needs.
     if verify_mode == "auto":
-        verify_mode = (
-            "distributed" if corpus.count() > 100_000 else "broadcast"
-        )
+        verify_mode = "distributed" if n_rows > 100_000 else "broadcast"
 
     signatures = reps.map_batches(
         make_signature_fn(cfg, id_col, text_col),

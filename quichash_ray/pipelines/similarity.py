@@ -37,11 +37,14 @@ def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
 
 
 def _normalized_block_refs(
-    ds: Dataset, id_col: str, emb_col: str
+    ds: Dataset, id_col: str, emb_col: str, prepared: bool = False
 ) -> list:
     """Materialize (id, embedding) and normalize each block REMOTELY —
     returns refs to (ids int64, unit-norm float64 matrix) tuples in plasma.
-    The driver holds only the refs."""
+    The driver holds only the refs. ``prepared=True`` skips the
+    select+materialize when the caller already holds a materialized
+    (id, embedding) projection (avoids a second object-store copy of the
+    fattest column)."""
     import ray
 
     @ray.remote
@@ -53,10 +56,8 @@ def _normalized_block_refs(
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         return ids, mat
 
-    blocks = (
-        ds.select_columns([id_col, emb_col]).materialize().to_arrow_refs()
-    )
-    return [prep.remote(r) for r in blocks]
+    src = ds if prepared else ds.select_columns([id_col, emb_col]).materialize()
+    return [prep.remote(r) for r in src.to_arrow_refs()]
 
 
 def knn_topk(
@@ -187,6 +188,7 @@ def cosine_neardup_pairs(
 
 
 _PLANE_CACHE: dict[tuple, np.ndarray] = {}
+_VERIFY_CACHE: dict[tuple, tuple] = {}
 
 
 def _band_planes(
@@ -310,22 +312,32 @@ def _exact_verify_pairs(
     emb_col: str,
 ) -> Dataset:
     """Exact cosine verification of a sparse candidate-pair set — vectors
-    come from plasma-resident normalized shards (never the driver)."""
+    come from plasma-resident normalized shards; the merged sorted matrix
+    is built ONCE PER WORKER PROCESS (module cache keyed on the shard
+    refs), not per batch."""
     import ray
 
-    a_refs = _normalized_block_refs(data, id_col, emb_col)
+    a_refs = _normalized_block_refs(data, id_col, emb_col, prepared=True)
+    cache_key = tuple(r.hex() for r in a_refs)
+
+    def _merged():
+        hit = _VERIFY_CACHE.get(cache_key)
+        if hit is None:
+            shards = [ray.get(r) for r in a_refs]
+            all_ids = np.concatenate([sh[0] for sh in shards])
+            all_mat = np.concatenate(
+                [sh[1] for sh in shards if len(sh[0])], axis=0
+            )
+            order = np.argsort(all_ids, kind="stable")
+            hit = (all_ids[order], all_mat[order])
+            _VERIFY_CACHE.clear()  # one corpus per worker at a time
+            _VERIFY_CACHE[cache_key] = hit
+        return hit
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b
-        shards = [ray.get(r) for r in a_refs]
-        all_ids = np.concatenate([sh[0] for sh in shards])
-        all_mat = np.concatenate(
-            [sh[1] for sh in shards if len(sh[0])], axis=0
-        )
-        order = np.argsort(all_ids, kind="stable")
-        all_ids = all_ids[order]
-        all_mat = all_mat[order]
+        all_ids, all_mat = _merged()
         ia = np.searchsorted(all_ids, np.asarray(b["vec_id_a"], np.int64))
         ib = np.searchsorted(all_ids, np.asarray(b["vec_id_b"], np.int64))
         sims = np.einsum("ij,ij->i", all_mat[ia], all_mat[ib])

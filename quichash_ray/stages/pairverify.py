@@ -456,7 +456,6 @@ def verify_pairs_distributed(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        needs_mat = True
     else:
 
         def shingle_to_binary(b: pa.Table) -> pa.Table:
@@ -474,11 +473,9 @@ def verify_pairs_distributed(
         ).map_batches(
             shingle_to_binary, batch_format="pyarrow", zero_copy_batch=True
         )
-        needs_mat = True
     # bounded by borderline ids; materialized so the content scan runs once
     # (two attach shuffles consume it)
-    if needs_mat:
-        shingle_data = shingle_data.materialize()
+    shingle_data = shingle_data.materialize()
     _mark("shingle_data")
 
     b_a = _attach_side(

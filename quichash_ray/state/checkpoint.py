@@ -147,6 +147,18 @@ class CheckpointedPipeline:
             return self.load(name)
         final = self._stage_dir(name)
         os.makedirs(final, exist_ok=True)
+        # drop stale partitions from an earlier attempt with a LARGER
+        # partition count — load() reads every part-* dir, so leftovers
+        # beyond range(num_parts) would silently join the output
+        for entry in os.listdir(final):
+            if entry.startswith("part-"):
+                try:
+                    idx = int(entry[5:10])
+                except ValueError:
+                    continue
+                if idx >= num_parts:
+                    p = os.path.join(final, entry)
+                    (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
         t0 = time.time()
         computed = 0
         for i in range(num_parts):
