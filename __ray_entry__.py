@@ -158,6 +158,24 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(_docs(sf_dir))
 
 
+def _q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish pre-token counts (the two token budgets a
+    training pipeline tracks), vectorized RE2 both sides."""
+    from quichash_ray.pipelines.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_decontaminate(sf_dir: str):
+    """Cross-corpus decontamination: training docs matching the (derived)
+    eval corpus at exact-sha or normalized-fingerprint tier."""
+    from quichash_ray.pipelines.decontam import decontaminate
+    from quichash_ray.pipelines.derived import decontam_test_corpus
+
+    docs = _docs(sf_dir)
+    return decontaminate(docs, decontam_test_corpus(docs))
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from quichash_ray.pipelines.ngram import jaccard_pairs
 
@@ -602,6 +620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "ngram_jaccard": _q_ngram_jaccard,
+        "token_counts": _q_token_counts,
+        "decontaminate": _q_decontaminate,
         "knn_topk": _q_knn_topk,
         "embedding_neardup": _q_embedding_neardup,
     }
@@ -795,6 +815,39 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "decontaminate": r"""
+            WITH test AS (
+                SELECT sha256(text) AS dg,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                           AS fp
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT sha256(upper(text) || '  ') AS dg,
+                       md5(trim(regexp_replace(lower(upper(text) || '  '),
+                                               '\s+', ' ', 'g'))) AS fp
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT d.doc_id,
+                   CASE WHEN EXISTS (SELECT 1 FROM test t
+                                     WHERE t.dg = sha256(d.text))
+                        THEN 'exact' ELSE 'fingerprint' END AS reason
+            FROM documents d
+            WHERE EXISTS (SELECT 1 FROM test t WHERE t.dg = sha256(d.text))
+               OR EXISTS (
+                   SELECT 1 FROM test t
+                   WHERE t.fp = md5(trim(regexp_replace(lower(d.text),
+                                                        '\s+', ' ', 'g')))
+               )
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

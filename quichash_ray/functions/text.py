@@ -31,6 +31,18 @@ def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.count_substring_regex(text, TOKEN_PATTERN), pa.int64())
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style, simplified to the subset RE2
+# and DuckDB share): letter runs, single digits, punctuation runs
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish token count per row (vectorized RE2): letter runs + single
+    digits + punctuation runs — the pre-tokenization granularity a BPE
+    vocabulary subdivides, a closer LLM-token proxy than whitespace."""
+    return pc.cast(pc.count_substring_regex(text, BPE_PATTERN), pa.int64())
+
+
 def char_class_counts(
     text: pa.ChunkedArray | pa.Array,
 ) -> dict[str, pa.Array]:

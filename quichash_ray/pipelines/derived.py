@@ -241,6 +241,48 @@ redigest AS (
 """
 
 
+def decontam_test_corpus(docs: Dataset, text_col: str = "text") -> Dataset:
+    """Deterministic eval-corpus derivation for decontamination checks:
+    doc_id%10==0 rows verbatim (exact leakage) plus doc_id%7==0 rows
+    case/whitespace-mangled (caught only by the normalized fingerprint).
+    Mirrored literally in the oracle SQL."""
+
+    def to_test(b: pa.Table) -> pa.Table:
+        exact = b.filter(_mod_eq(b["doc_id"], 10, 0))
+        mangled = b.filter(_mod_eq(b["doc_id"], 7, 0))
+        mtext = pc.binary_join_element_wise(
+            pc.utf8_upper(mangled[text_col]), pa.scalar("  "), pa.scalar("")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [
+                        exact["doc_id"].combine_chunks()
+                        if isinstance(exact["doc_id"], pa.ChunkedArray)
+                        else exact["doc_id"],
+                        mangled["doc_id"].combine_chunks()
+                        if isinstance(mangled["doc_id"], pa.ChunkedArray)
+                        else mangled["doc_id"],
+                    ]
+                ),
+                text_col: pa.concat_arrays(
+                    [
+                        exact[text_col].combine_chunks()
+                        if isinstance(exact[text_col], pa.ChunkedArray)
+                        else exact[text_col],
+                        mtext.combine_chunks()
+                        if isinstance(mtext, pa.ChunkedArray)
+                        else mtext,
+                    ]
+                ),
+            }
+        )
+
+    return docs.map_batches(
+        to_test, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def compare_scenario(docs: Dataset, text_col: str = "text") -> tuple[Dataset, Dataset]:
     """→ (db1, db2): db1 = one row per document, path 'doc_<id>'.
     db2: doc_id%17==0 dropped (removed); doc_id%7==0 text mutated (changed);

@@ -10,12 +10,35 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from quichash_ray.functions.text import (
+    bpe_token_count_array,
     char_class_counts,
     lang_scores,
     normalize_for_fingerprint,
     predict_lang,
     token_count_array,
 )
+
+
+def token_counts(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """→ (id, n_ws_tokens, n_bpe_tokens): whitespace tokens and BPE-ish
+    pre-tokens (letter runs / digits / punctuation runs) — the two token
+    budgets a training-data pipeline tracks, both vectorized RE2."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_ws_tokens": token_count_array(text),
+                "n_bpe_tokens": bpe_token_count_array(text),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def text_quality(
