@@ -176,6 +176,19 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, decontam_test_corpus(docs))
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-rule-style quality signals (token bounds, stopword ratio,
+    duplicate-3-gram share) with integer-exact thresholds."""
+    from quichash_ray.pipelines.textstats import gopher_quality
+
+    return gopher_quality(
+        _docs(sf_dir),
+        min_tokens=5,
+        min_stopword_ratio_bp=100,
+        max_dup_3gram_bp=2000,
+    )
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from quichash_ray.pipelines.ngram import jaccard_pairs
 
@@ -621,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_counts": _q_token_counts,
+        "gopher_quality": _q_gopher_quality,
         "decontaminate": _q_decontaminate,
         "knn_topk": _q_knn_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -815,6 +829,42 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS fingerprint
             FROM documents
+        """,
+        "gopher_quality": r"""
+            WITH toks AS (
+                SELECT doc_id, text, regexp_extract_all(text, '\S+') AS t
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks
+            ),
+            g3 AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM idx
+            ),
+            dist AS (SELECT doc_id, count(DISTINCT g) AS d3 FROM g3 GROUP BY 1),
+            base AS (
+                SELECT k.doc_id,
+                       len(k.t) AS n_tok,
+                       len(regexp_extract_all(k.text, '\b(the|a|an|of|to|and|in|is|it|that|for|on|with|as|at|by|be|this|are|or)\b'))
+                           AS sw_hits,
+                       CASE WHEN len(k.t) >= 3
+                            THEN (10000 * (len(k.t) - 2 - coalesce(di.d3, 0)))
+                                 // (len(k.t) - 2)
+                            ELSE 0 END AS dup_bp
+                FROM toks k LEFT JOIN dist di ON di.doc_id = k.doc_id
+            )
+            SELECT doc_id,
+                   n_tok::BIGINT AS n_tokens,
+                   sw_hits::BIGINT AS stopword_hits,
+                   dup_bp::BIGINT AS dup_3gram_bp,
+                   (CASE WHEN n_tok >= 5 AND n_tok <= 100000
+                              AND (10000 * sw_hits) // greatest(n_tok, 1) >= 100
+                              AND dup_bp <= 2000
+                         THEN 1 ELSE 0 END)::BIGINT AS passes
+            FROM base
         """,
         "token_counts": r"""
             SELECT doc_id,

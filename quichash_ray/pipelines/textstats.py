@@ -108,3 +108,86 @@ def fingerprints(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "be", "this", "are", "or",
+)
+
+
+def gopher_quality(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_stopword_ratio_bp: int = 0,
+    max_dup_3gram_bp: int = 10_000,
+) -> Dataset:
+    """Gopher-rule-style quality signals per document, integer-exact:
+
+    - ``n_tokens``: whitespace tokens;
+    - ``stopword_hits``: occurrences of a fixed 20-word English stopword
+      list (word-boundary matches — a fluency signal);
+    - ``dup_3gram_bp``: basis points of word-3-gram occurrences that are
+      repeats of an earlier 3-gram in the same document (the repetition
+      signal; 0 = no repetition);
+    - ``passes``: 1 iff token count in [min, max], stopword ratio ≥
+      threshold, repetition ≤ threshold.
+
+    All thresholds are integer basis points so the engine and the DuckDB
+    oracle agree bit-for-bit.
+    """
+    import re
+
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    sw_pattern = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+
+    def kernel(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        n_tok = token_count_array(text)
+        sw = pc.cast(pc.count_substring_regex(text, sw_pattern), pa.int64())
+        # repetition: per-doc duplicate word-3-gram share (Python split per
+        # row; the counting itself is numpy unique over hashed grams)
+        from quichash_ray.pipelines.ngram import gram_hashes
+
+        dup_bp = []
+        for t in text.to_pylist():
+            toks = (t or "").split()
+            total = max(0, len(toks) - 2)
+            if total <= 0:
+                dup_bp.append(0)
+                continue
+            # gram_hashes returns DISTINCT hashes; dup occurrences = total - distinct
+            distinct = len(gram_hashes(toks, 3))
+            dup_bp.append((10000 * (total - distinct)) // total)
+        n_tok_np = np.asarray(n_tok)
+        sw_np = np.asarray(sw)
+        dup_np = np.asarray(dup_bp, dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sw_bp = np.where(
+                n_tok_np > 0, (10000 * sw_np) // np.maximum(n_tok_np, 1), 0
+            )
+        passes = (
+            (n_tok_np >= min_tokens)
+            & (n_tok_np <= max_tokens)
+            & (sw_bp >= min_stopword_ratio_bp)
+            & (dup_np <= max_dup_3gram_bp)
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": n_tok,
+                "stopword_hits": sw,
+                "dup_3gram_bp": pa.array(dup_np, pa.int64()),
+                "passes": pa.array(passes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
