@@ -66,13 +66,19 @@ def run_suite() -> dict:
         "exact_dup_groups",
         "analyze_stats",
         "verify_classify",
+        "verify_mixed",
         "compare_classify",
         "multi_digest",
         "text_quality",
+        "gopher_quality",
+        "token_counts",
         "fingerprints",
+        "decontaminate",
         "ngram_jaccard",
         "knn_topk",
         "embedding_neardup",
+        "embedding_recall_report",
+        "ivf_recall_report",
     ]
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
