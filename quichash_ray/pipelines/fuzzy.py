@@ -562,6 +562,13 @@ def fuzzy_dedup(
     n_rows = corpus.count()
     membership, reps = exact_stage(corpus, id_col, text_col, n_rows=n_rows)
     membership = membership.materialize()
+    # reps (content included) is consumed TWICE — signature scan and the
+    # tier-2 shingle recompute — and lazily it re-reads the corpus each
+    # time. Materialize it while it comfortably fits the object store
+    # (~2KB/doc → ≤10GB at 5M rows on this box); above that, streaming
+    # re-reads beat plasma spill.
+    if n_rows <= 5_000_000:
+        reps = reps.materialize()
     _mark("exact_stage")
 
     # stateless tasks with per-worker-process cached state: the permutation
