@@ -23,7 +23,10 @@ LANG_MARKERS: dict[str, str] = {
 }
 _LANG_ORDER = ["en", "de", "fr"]
 
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace only — matches RE2's \s (the oracle side: DuckDB
+# regexp_replace + trim); Python's \s would also match Unicode whitespace
+# (NBSP, U+2028) and silently diverge from the oracle on exotic input
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
 def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -80,7 +83,7 @@ def predict_lang(scores: dict[str, pa.Array]) -> pa.Array:
 def normalize_for_fingerprint(s: str) -> str:
     """lowercase + collapse whitespace + trim — the canonical form hashed by
     the document fingerprint (rolling-hash analog; md5 of normal form)."""
-    return _WS_RE.sub(" ", s.lower()).strip()
+    return _WS_RE.sub(" ", s.lower()).strip(" ")
 
 
 def tokenize(s: str) -> list[str]:

@@ -10,10 +10,11 @@ Two matching tiers, cheap to strict:
 
 The TEST side is the small side by construction (eval sets are orders of
 magnitude smaller than training corpora), so its key sets broadcast once
-via ``ray.put`` as sorted numpy arrays of digest prefixes + a set of hex
-strings for exactness; the training side streams through one
-``map_batches`` — no shuffle at all. Above ``broadcast_limit`` test rows
-the same classification runs as two hash joins (documented fallback).
+via ``ray.put`` as sorted numpy BYTES arrays (S64/S32 — 4x smaller than
+numpy unicode); the training side streams through one ``map_batches`` —
+no shuffle at all. Above ``broadcast_limit`` test rows the function
+raises (a digest hash-join fallback is the obvious extension; eval sets
+that large have not materialized in practice).
 """
 
 from __future__ import annotations
@@ -53,6 +54,9 @@ def decontaminate(
     """
     import ray
 
+    if emit not in ("removed", "clean"):
+        raise ValueError(f"emit must be 'removed' or 'clean', got {emit!r}")
+
     test = test.materialize()
     if test.count() > broadcast_limit:
         raise NotImplementedError(
@@ -67,9 +71,9 @@ def decontaminate(
             if txt is None:
                 continue
             s, f = _doc_keys(txt)
-            sha.append(s)
-            fp.append(f)
-        return np.array(sha, dtype="U64"), np.array(fp, dtype="U32")
+            sha.append(s.encode())
+            fp.append(f.encode())
+        return np.array(sha, dtype="S64"), np.array(fp, dtype="S32")
 
     parts = ray.get(
         [block_keys.remote(r) for r in test.to_arrow_refs()]
@@ -77,30 +81,37 @@ def decontaminate(
     sha_arr = (
         np.unique(np.concatenate([p[0] for p in parts]))
         if parts
-        else np.empty(0, "U64")
+        else np.empty(0, "S64")
     )
     fp_arr = (
         np.unique(np.concatenate([p[1] for p in parts]))
         if parts
-        else np.empty(0, "U32")
+        else np.empty(0, "S32")
     )
     keys_ref = ray.put((sha_arr, fp_arr))
 
     def classify(b: pa.Table) -> pa.Table:
-        shas, fps = ray.get(keys_ref)  # sorted unique
+        shas, fps = ray.get(keys_ref)  # sorted unique bytes
         texts = b[text_col].to_pylist()
         reason = np.full(len(texts), "", dtype="U11")
         for i, txt in enumerate(texts):
             if txt is None:
                 continue
-            s, f = _doc_keys(txt)
+            # exact tier first; the fingerprint (regex normalize + md5) is
+            # computed lazily only on an exact-tier miss with a non-empty
+            # fingerprint set
+            s = hashlib.sha256(txt.encode("utf-8")).hexdigest().encode()
             if len(shas) and shas[
                 min(np.searchsorted(shas, s), len(shas) - 1)
             ] == s:
                 reason[i] = "exact"
-            elif len(fps) and fps[
-                min(np.searchsorted(fps, f), len(fps) - 1)
-            ] == f:
+                continue
+            if not len(fps):
+                continue
+            f = hashlib.md5(
+                normalize_for_fingerprint(txt).encode("utf-8")
+            ).hexdigest().encode()
+            if fps[min(np.searchsorted(fps, f), len(fps) - 1)] == f:
                 reason[i] = "fingerprint"
         hit = reason != ""
         if emit == "clean":

@@ -253,29 +253,13 @@ def decontam_test_corpus(docs: Dataset, text_col: str = "text") -> Dataset:
         mtext = pc.binary_join_element_wise(
             pc.utf8_upper(mangled[text_col]), pa.scalar("  "), pa.scalar("")
         )
-        return pa.table(
-            {
-                "doc_id": pa.concat_arrays(
-                    [
-                        exact["doc_id"].combine_chunks()
-                        if isinstance(exact["doc_id"], pa.ChunkedArray)
-                        else exact["doc_id"],
-                        mangled["doc_id"].combine_chunks()
-                        if isinstance(mangled["doc_id"], pa.ChunkedArray)
-                        else mangled["doc_id"],
-                    ]
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {"doc_id": exact["doc_id"], text_col: exact[text_col]}
                 ),
-                text_col: pa.concat_arrays(
-                    [
-                        exact[text_col].combine_chunks()
-                        if isinstance(exact[text_col], pa.ChunkedArray)
-                        else exact[text_col],
-                        mtext.combine_chunks()
-                        if isinstance(mtext, pa.ChunkedArray)
-                        else mtext,
-                    ]
-                ),
-            }
+                pa.table({"doc_id": mangled["doc_id"], text_col: mtext}),
+            ]
         )
 
     return docs.map_batches(

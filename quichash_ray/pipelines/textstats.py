@@ -142,10 +142,13 @@ def gopher_quality(
     import re
 
     import numpy as np
-
     import pyarrow.compute as pc
 
     sw_pattern = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+    # ASCII-whitespace tokenizer — identical to the RE2 '\S+' the oracle
+    # and token_count_array use (str.split() would also split on Unicode
+    # whitespace and diverge)
+    tok_re = re.compile(r"[^ \t\n\r\f\v]+")
 
     def kernel(b: pa.Table) -> pa.Table:
         text = b[text_col].combine_chunks() if isinstance(
@@ -153,19 +156,18 @@ def gopher_quality(
         ) else b[text_col]
         n_tok = token_count_array(text)
         sw = pc.cast(pc.count_substring_regex(text, sw_pattern), pa.int64())
-        # repetition: per-doc duplicate word-3-gram share (Python split per
-        # row; the counting itself is numpy unique over hashed grams)
-        from quichash_ray.pipelines.ngram import gram_hashes
-
+        # repetition: per-doc duplicate word-3-gram share — distinct grams
+        # counted EXACTLY (tuple set; a 32-bit token-hash scheme would
+        # collide on ~1e5-distinct-token documents and drift vs the
+        # oracle's count(DISTINCT))
         dup_bp = []
         for t in text.to_pylist():
-            toks = (t or "").split()
+            toks = tok_re.findall(t or "")
             total = max(0, len(toks) - 2)
             if total <= 0:
                 dup_bp.append(0)
                 continue
-            # gram_hashes returns DISTINCT hashes; dup occurrences = total - distinct
-            distinct = len(gram_hashes(toks, 3))
+            distinct = len(set(zip(toks, toks[1:], toks[2:])))
             dup_bp.append((10000 * (total - distinct)) // total)
         n_tok_np = np.asarray(n_tok)
         sw_np = np.asarray(sw)
