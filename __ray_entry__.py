@@ -595,6 +595,22 @@ def _q_embedding_recall_report(sf_dir: str):
     )
 
 
+def _q_ivf_knn_topk(sf_dir: str):
+    """IVF pruned top-k (approximate; rows-only — exactness lives in
+    knn_topk's oracle and the ivf recall gates)."""
+    from quichash_ray.pipelines.similarity import ivf_knn
+
+    out = ivf_knn(
+        _emb(sf_dir), query_ids=list(range(10)), k=5, nlist=16, nprobe=8
+    )
+    import pyarrow as pa
+
+    return out.map_batches(
+        lambda b: b.rename_columns(["query_id", "vec_id", "rnk"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_ivf_recall_report(sf_dir: str):
     """IVF (coarse k-means quantizer, nprobe multi-assignment) vs exact
     cosine pairs — one-row recall report. Second ANN scale path beside the
@@ -621,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_image_features,
         "embedding_recall_report": _q_embedding_recall_report,
         "ivf_recall_report": _q_ivf_recall_report,
+        "ivf_knn_topk": _q_ivf_knn_topk,
         "exact_dup_groups": _q_exact_dup_groups,
         "dedup_keep_first": _q_dedup_keep_first,
         "analyze_stats": _q_analyze_stats,

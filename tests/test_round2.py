@@ -594,3 +594,35 @@ def test_ivf_knn_recall_at_5(ray_session):
         ).take_all()
     }
     assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_hash_exchange_envelope(ray_session):
+    """Envelope regression: many partitions x many blocks stays fast and
+    exact (51k-object case measured 2.3s at 32 CPUs; scaled down here)."""
+    import time
+
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+
+    rng = np.random.default_rng(5)
+    n, P, nblocks = 1_000_000, 64, 64
+    t = pa.table(
+        {
+            "part": pa.array(rng.integers(0, P, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(
+        [t.slice(i * (n // nblocks), n // nblocks) for i in range(nblocks)]
+    ).materialize()
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64())})
+        return pa.table({"c": pa.array([g.num_rows], pa.int64())})
+
+    t0 = time.time()
+    out = hash_exchange(ds, "part", agg, P).to_pandas()
+    assert out["c"].sum() == n
+    assert time.time() - t0 < 30
