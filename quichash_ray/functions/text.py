@@ -23,10 +23,11 @@ LANG_MARKERS: dict[str, str] = {
 }
 _LANG_ORDER = ["en", "de", "fr"]
 
-# ASCII whitespace only — matches RE2's \s (the oracle side: DuckDB
-# regexp_replace + trim); Python's \s would also match Unicode whitespace
-# (NBSP, U+2028) and silently diverge from the oracle on exotic input
-_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+# Exactly RE2's \s = [ \t\n\f\r] (the oracle side: DuckDB regexp_replace
+# + trim). Python's \s would also match \v and Unicode whitespace (NBSP,
+# U+2028) and silently diverge from the oracle on exotic input — RE2
+# deliberately EXCLUDES \v from \s.
+_WS_RE = re.compile(r"[ \t\n\f\r]+")
 
 
 def token_count_array(text: pa.ChunkedArray | pa.Array) -> pa.Array:

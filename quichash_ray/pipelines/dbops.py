@@ -127,14 +127,23 @@ def verify_mixed(
 
     ``stored``: (path, digest, algorithm, fast_mode). ``current``:
     (path, content). → (path, status, expected, actual); status ∈
-    match|mismatch|missing|new. ``actual`` is the re-digest under the
-    stored entry's own algorithm+mode (null for missing/new).
+    match|mismatch|missing|new|skipped. ``actual`` is the re-digest under
+    the stored entry's own algorithm+mode (null for missing/new/skipped).
+    A stored row whose digest or algorithm is null cannot be verified — it
+    is SKIPPED with a counted status (``verify_mixed_skipped_null`` on the
+    metrics actor), per the engine's skip-and-count discipline, rather than
+    misclassified as ``new`` or crashing in ``canonical_name``.
     """
     from quichash_ray.functions.fastmode import (
         FAST_MODE_SAMPLE_SIZE,
         fast_sample,
     )
     from quichash_ray.functions.hashes import canonical_name, get_digest_fn
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    # driver-owned handle captured by the kernel closure — an actor created
+    # inside a worker UDF would die with that task
+    metrics = get_metrics_actor()
 
     S = fast_sample_size or FAST_MODE_SAMPLE_SIZE
 
@@ -147,8 +156,18 @@ def verify_mixed(
         num_partitions = choose_num_parts(
             cur_side.count(), bytes_per_row=2048, target_bytes=64 << 20
         )
+    # presence marker: a stored row with null digest/algorithm must still
+    # read as "stored side present" after the outer join (its nullable
+    # payload columns can't carry that signal)
+    def mark_stored(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_stp", pa.array([1] * b.num_rows, pa.int8())
+        )
+
     joined = cur_side.join(
-        stored.select_columns([path_col, digest_col, algo_col, fast_col]),
+        stored.select_columns(
+            [path_col, digest_col, algo_col, fast_col]
+        ).map_batches(mark_stored, batch_format="pyarrow"),
         join_type="full_outer",
         num_partitions=num_partitions,
         on=(path_col,),
@@ -161,17 +180,24 @@ def verify_mixed(
         exps = b[digest_col].to_pylist()
         algos = b[algo_col].to_pylist()
         fasts = b[fast_col].to_pylist()
+        stps = b["_stp"].to_pylist()
         fns: dict[str, Any] = {}
         actual: list[str | None] = []
         status: list[str] = []
-        for t, e, a, f in zip(texts, exps, algos, fasts):
-            if e is None:
+        n_skipped = 0
+        for t, e, a, f, sp in zip(texts, exps, algos, fasts, stps):
+            if sp is None:
                 actual.append(None)
                 status.append("new")
                 continue
             if t is None:
                 actual.append(None)
                 status.append("missing")
+                continue
+            if e is None or a is None:
+                actual.append(None)
+                status.append("skipped")
+                n_skipped += 1
                 continue
             name = canonical_name(a)
             fn = fns.get(name)
@@ -183,6 +209,8 @@ def verify_mixed(
             d = fn(data).hex()
             actual.append(d)
             status.append("match" if d == e else "mismatch")
+        if n_skipped:
+            metrics.add.remote("verify_mixed_skipped_null", n_skipped)
         return pa.table(
             {
                 path_col: b[path_col],
@@ -200,7 +228,7 @@ def verify_report(classified: Dataset) -> dict:
     from ray.data.aggregate import Count
 
     counts = classified.groupby("status").aggregate(Count(alias_name="cnt"))
-    out = {"match": 0, "mismatch": 0, "missing": 0, "new": 0}
+    out = {"match": 0, "mismatch": 0, "missing": 0, "new": 0, "skipped": 0}
     for row in counts.take_all():
         out[row["status"]] = row["cnt"]
     return out

@@ -12,9 +12,12 @@ The TEST side is the small side by construction (eval sets are orders of
 magnitude smaller than training corpora), so its key sets broadcast once
 via ``ray.put`` as sorted numpy BYTES arrays (S64/S32 — 4x smaller than
 numpy unicode); the training side streams through one ``map_batches`` —
-no shuffle at all. Above ``broadcast_limit`` test rows the function
-raises (a digest hash-join fallback is the obvious extension; eval sets
-that large have not materialized in practice).
+no shuffle at all. Above ``broadcast_limit`` test rows the pipeline
+switches to a co-partitioned key join (:func:`_decontaminate_join`): both
+sides hash their (tier, key) rows to partitions, membership is decided
+per partition, and matched ids reduce to a reason with exact winning —
+nothing is ever broadcast, so an arbitrarily large eval corpus works.
+The two paths are equivalence-tested.
 """
 
 from __future__ import annotations

@@ -188,7 +188,6 @@ def cosine_neardup_pairs(
 
 
 _PLANE_CACHE: dict[tuple, np.ndarray] = {}
-_VERIFY_CACHE: dict[tuple, tuple] = {}
 
 
 def _band_planes(
@@ -310,40 +309,124 @@ def _exact_verify_pairs(
     threshold: float,
     id_col: str,
     emb_col: str,
+    num_parts: int | None = None,
 ) -> Dataset:
-    """Exact cosine verification of a sparse candidate-pair set — vectors
-    come from plasma-resident normalized shards; the merged sorted matrix
-    is built ONCE PER WORKER PROCESS (module cache keyed on the shard
-    refs), not per batch."""
+    """Exact cosine verification of a sparse candidate-pair set —
+    candidate-bounded end to end.
+
+    Vectors for exactly the ids appearing in candidate pairs are
+    normalized, binary-encoded (float64 LE rows) and CO-PARTITIONED with
+    the pairs by hash(id) % P via :func:`pairverify._attach_side` — the
+    same repartition-join discipline the minhash verifier uses. Per-task
+    memory is one partition of pairs + their vectors; nothing anywhere
+    holds the corpus (the round-2 design merged every normalized shard
+    into each worker — O(corpus) per worker, a scale-killer at 10^9
+    vectors; reference analog: the candidate-bounded discipline of
+    verify.rs:264-361 generalized)."""
     import ray
 
-    a_refs = _normalized_block_refs(data, id_col, emb_col, prepared=True)
-    cache_key = tuple(r.hex() for r in a_refs)
+    from quichash_ray.stages.pairverify import (
+        _attach_side,
+        binary_col_parts,
+        collect_pair_ids,
+        make_id_filter,
+        uint64s_to_binary_rows,
+    )
+    from quichash_ray.stages.partitioning import choose_num_parts
 
-    def _merged():
-        hit = _VERIFY_CACHE.get(cache_key)
-        if hit is None:
-            shards = [ray.get(r) for r in a_refs]
-            all_ids = np.concatenate([sh[0] for sh in shards])
-            all_mat = np.concatenate(
-                [sh[1] for sh in shards if len(sh[0])], axis=0
+    # _attach_side / collect_pair_ids speak (id_a, id_b)
+    def to_generic(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id_a": b["vec_id_a"], "id_b": b["vec_id_b"]}
+        )
+
+    cands = pairs.map_batches(
+        to_generic, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    cand_ids = collect_pair_ids(cands)
+    cand_ref = ray.put(cand_ids)
+    keep = make_id_filter(cand_ref, id_col)
+    if num_parts is None:
+        num_parts = choose_num_parts(
+            len(cand_ids), bytes_per_row=2048, target_bytes=64 << 20
+        )
+
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
+
+    def vec_to_binary(b: pa.Table) -> pa.Table:
+        b = keep(b)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "vec": pa.nulls(0, pa.large_binary()),
+                }
             )
-            order = np.argsort(all_ids, kind="stable")
-            hit = (all_ids[order], all_mat[order])
-            _VERIFY_CACHE.clear()  # one corpus per worker at a time
-            _VERIFY_CACHE[cache_key] = hit
-        return hit
+        # observability for the candidate-boundedness invariant: the total
+        # across batches equals |unique candidate ids|, never the corpus
+        metrics.add.remote("ann_verify_vec_rows", b.num_rows)
+        mat = _emb_matrix(b, emb_col)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n, d = mat.shape
+        offs = np.arange(n + 1, dtype=np.int64) * d
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "vec": uint64s_to_binary_rows(
+                    np.ascontiguousarray(mat).reshape(-1).view(np.uint64),
+                    offs,
+                ),
+            }
+        )
+
+    # bounded by candidate ids, never the corpus; materialized because two
+    # attach shuffles consume it
+    vecs = (
+        data.select_columns([id_col, emb_col])
+        .map_batches(vec_to_binary, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    pair_ids_schema = [("id_a", pa.int64()), ("id_b", pa.int64())]
+    w_a = _attach_side(
+        cands, vecs, "id_a", id_col, "vec", "vec_a", num_parts,
+        pair_schema=pair_ids_schema,
+    )
+    w_ab = _attach_side(
+        w_a, vecs, "id_b", id_col, "vec", "vec_b", num_parts,
+        pair_schema=pair_ids_schema + [("vec_a", pa.large_binary())],
+    )
 
     def verify(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+            }
+        )
         if b.num_rows == 0:
-            return b
-        all_ids, all_mat = _merged()
-        ia = np.searchsorted(all_ids, np.asarray(b["vec_id_a"], np.int64))
-        ib = np.searchsorted(all_ids, np.asarray(b["vec_id_b"], np.int64))
-        sims = np.einsum("ij,ij->i", all_mat[ia], all_mat[ib])
-        return b.filter(pa.array(sims >= threshold))
+            return empty
+        va, oa = binary_col_parts(b["vec_a"])
+        vb, ob = binary_col_parts(b["vec_b"])
+        d = int(oa[1] - oa[0]) // 8
+        ma = va[oa[0] : oa[-1]].view(np.float64).reshape(-1, d)
+        mb = vb[ob[0] : ob[-1]].view(np.float64).reshape(-1, d)
+        sims = np.einsum("ij,ij->i", ma, mb)
+        hit = sims >= threshold
+        return pa.table(
+            {
+                "vec_id_a": pa.array(
+                    np.asarray(b["id_a"], np.int64)[hit], pa.int64()
+                ),
+                "vec_id_b": pa.array(
+                    np.asarray(b["id_b"], np.int64)[hit], pa.int64()
+                ),
+            }
+        )
 
-    return pairs.map_batches(
+    return w_ab.map_batches(
         verify, batch_format="pyarrow", zero_copy_batch=True
     )
 

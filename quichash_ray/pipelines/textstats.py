@@ -145,10 +145,10 @@ def gopher_quality(
     import pyarrow.compute as pc
 
     sw_pattern = r"\b(" + "|".join(_STOPWORDS) + r")\b"
-    # ASCII-whitespace tokenizer — identical to the RE2 '\S+' the oracle
-    # and token_count_array use (str.split() would also split on Unicode
-    # whitespace and diverge)
-    tok_re = re.compile(r"[^ \t\n\r\f\v]+")
+    # Tokenizer identical to the RE2 '\S+' the oracle and
+    # token_count_array use: RE2 \s = [ \t\n\f\r] (no \v). str.split()
+    # would also split on \v and Unicode whitespace and diverge.
+    tok_re = re.compile(r"[^ \t\n\f\r]+")
 
     def kernel(b: pa.Table) -> pa.Table:
         text = b[text_col].combine_chunks() if isinstance(

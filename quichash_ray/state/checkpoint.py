@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from datetime import datetime, timezone
@@ -144,21 +145,25 @@ class CheckpointedPipeline:
         file / key range per partition) so resumed output ≡ fresh output.
         """
         if self.is_done(name):
-            return self.load(name)
+            # a completed stage is reusable only at the SAME partition
+            # count — part_fn(i) semantics change with num_parts, so a
+            # stale manifest with a different count must not short-circuit
+            if self.lineage(name).get("n_partitions") == num_parts:
+                return self.load(name)
+            shutil.rmtree(self._stage_dir(name), ignore_errors=True)
         final = self._stage_dir(name)
         os.makedirs(final, exist_ok=True)
         # drop stale partitions from an earlier attempt with a LARGER
         # partition count — load() reads every part-* dir, so leftovers
-        # beyond range(num_parts) would silently join the output
+        # beyond range(num_parts) would silently join the output. Parse
+        # the full numeric suffix (not a fixed 5-digit slice) so counts
+        # beyond 99999 still clean up.
+        part_re = re.compile(r"^part-(\d+)(?:\.done)?$")
         for entry in os.listdir(final):
-            if entry.startswith("part-"):
-                try:
-                    idx = int(entry[5:10])
-                except ValueError:
-                    continue
-                if idx >= num_parts:
-                    p = os.path.join(final, entry)
-                    (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+            m = part_re.match(entry)
+            if m and int(m.group(1)) >= num_parts:
+                p = os.path.join(final, entry)
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
         t0 = time.time()
         computed = 0
         for i in range(num_parts):

@@ -35,9 +35,17 @@ def _actor_cls():
 
 
 def get_metrics_actor():
-    """Get-or-create the named counter actor (per Ray session)."""
+    """Get-or-create the named counter actor (per Ray session).
+
+    Detached lifetime: a plain named actor is garbage-collected when its
+    creator's handle goes out of scope — counts fired late in a pipeline
+    would land on a dead actor once the creating pipeline's objects are
+    GC'd. Detached pins it to the Ray session (``ray.shutdown`` reaps it).
+    """
     cls = _actor_cls()
-    return cls.options(name=_ACTOR_NAME, get_if_exists=True).remote()
+    return cls.options(
+        name=_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+    ).remote()
 
 
 def read_metrics() -> dict[str, int]:

@@ -43,6 +43,7 @@ def test_verify_matrix(ray_session):
         "mismatch": 1,
         "missing": 1,
         "new": 1,
+        "skipped": 0,
     }
 
 

@@ -1,0 +1,272 @@
+"""Round-3 regression tests — the ADVICE_r2 fixes.
+
+Covers: hash_exchange out-of-range partition loudness, run_partitioned
+partition-name parsing + n_partitions validation, RE2-exact whitespace
+(\\v exclusion), verify_mixed null-stored-row skip-and-count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# hash_exchange: rows with part outside [0, num_parts) must raise, not drop
+# ---------------------------------------------------------------------------
+
+
+def test_hash_exchange_out_of_range_part_raises(ray_session):
+    import ray.data
+    from ray.exceptions import RayTaskError
+
+    from quichash_ray.stages.exchange import hash_exchange
+
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, 2, 3]), "part": pa.array([0, 1, 7])})
+    )
+    with pytest.raises((RayTaskError, ValueError), match="outside"):
+        hash_exchange(ds, "part", lambda t: t, num_parts=4).materialize()
+
+    neg = ray.data.from_arrow(
+        pa.table({"x": pa.array([1]), "part": pa.array([-1])})
+    )
+    with pytest.raises((RayTaskError, ValueError), match="outside"):
+        hash_exchange(neg, "part", lambda t: t, num_parts=4).materialize()
+
+
+# ---------------------------------------------------------------------------
+# run_partitioned: wide part names clean up; n_partitions mismatch recomputes
+# ---------------------------------------------------------------------------
+
+
+def _write_parts(cp, name, num_parts, mult=1):
+    import ray.data
+
+    def part_fn(i):
+        return ray.data.from_arrow(
+            pa.table({"v": pa.array([i * mult], pa.int64())})
+        )
+
+    return cp.run_partitioned(name, part_fn, num_parts)
+
+
+def test_run_partitioned_cleans_wide_stale_parts(tmp_path, ray_session):
+    import os
+
+    from quichash_ray.state.checkpoint import CheckpointedPipeline
+
+    cp = CheckpointedPipeline(str(tmp_path))
+    final = cp._stage_dir("s")
+    # simulate a stale partition from a >99999-part attempt: the old
+    # int(entry[5:10]) parse read "part-123456" as 12345 and could keep it
+    os.makedirs(os.path.join(final, "part-123456"))
+    with open(os.path.join(final, "part-123456", "x.parquet"), "wb") as f:
+        pa.parquet.write_table(pa.table({"v": pa.array([999], pa.int64())}), f)
+    with open(os.path.join(final, "part-123456.done"), "w") as f:
+        f.write("stale")
+    out = _write_parts(cp, "s", 3)
+    vals = sorted(r["v"] for r in out.take_all())
+    assert vals == [0, 1, 2]  # stale 999 row did not join the output
+    assert not os.path.exists(os.path.join(final, "part-123456"))
+
+
+def test_run_partitioned_num_parts_mismatch_recomputes(tmp_path, ray_session):
+    from quichash_ray.state.checkpoint import CheckpointedPipeline
+
+    cp = CheckpointedPipeline(str(tmp_path))
+    _write_parts(cp, "s", 4, mult=1)
+    assert cp.lineage("s")["n_partitions"] == 4
+    # re-running with a different partition count must NOT serve the stale
+    # 4-part output — part_fn(i) semantics changed with num_parts
+    out = _write_parts(cp, "s", 2, mult=10)
+    vals = sorted(r["v"] for r in out.take_all())
+    assert vals == [0, 10]
+    assert cp.lineage("s")["n_partitions"] == 2
+    # same count short-circuits to load (values stay from the committed run)
+    out2 = _write_parts(cp, "s", 2, mult=777)
+    assert sorted(r["v"] for r in out2.take_all()) == [0, 10]
+
+
+# ---------------------------------------------------------------------------
+# RE2-exact whitespace: \v is NOT whitespace to RE2 (DuckDB oracle engine)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_for_fingerprint_keeps_vertical_tab():
+    from quichash_ray.functions.text import normalize_for_fingerprint
+
+    # RE2 \s = [ \t\n\f\r]; a\x0bb must survive normalization unchanged so
+    # fingerprints match the DuckDB oracle byte-for-byte
+    assert normalize_for_fingerprint("a\x0bb") == "a\x0bb"
+    assert normalize_for_fingerprint("A  b\t\nc ") == "a b c"
+
+
+def test_gopher_tokens_consistent_with_re2(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import gopher_quality
+
+    # "a\x0bb c" is 2 RE2 tokens ("a\x0bb", "c"); the 3-gram tokenizer must
+    # agree with n_tokens (RE2 \S+) on \v input
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["a\x0bb c"], pa.string()),
+            }
+        )
+    )
+    row = gopher_quality(ds).take_all()[0]
+    assert row["n_tokens"] == 2
+
+
+# ---------------------------------------------------------------------------
+# verify_mixed: null digest/algorithm stored rows → counted 'skipped'
+# ---------------------------------------------------------------------------
+
+
+def test_verify_mixed_null_stored_rows_skipped(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.dbops import verify_mixed, verify_report
+    from quichash_ray.state.metrics import read_metrics, reset_metrics
+
+    reset_metrics()
+    stored = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["ok", "nulldig", "nullalgo"]),
+                "digest": pa.array(
+                    [hashlib.sha256(b"x").hexdigest(), None,
+                     hashlib.sha256(b"z").hexdigest()]
+                ),
+                "algorithm": pa.array(["sha256", "sha256", None]),
+                "fast_mode": pa.array([False, False, False]),
+            }
+        )
+    )
+    current = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["ok", "nulldig", "nullalgo", "fresh"]),
+                "text": pa.array(["x", "y", "z", "w"]),
+            }
+        )
+    )
+    out = verify_mixed(stored, current).to_pandas().set_index("path")
+    assert out.loc["ok", "status"] == "match"
+    assert out.loc["nulldig", "status"] == "skipped"
+    assert out.loc["nullalgo", "status"] == "skipped"
+    assert out.loc["fresh", "status"] == "new"
+    rep = verify_report(verify_mixed(stored, current))
+    assert rep["skipped"] == 2
+    assert read_metrics().get("verify_mixed_skipped_null", 0) >= 2
+
+
+# ---------------------------------------------------------------------------
+# ANN exact-verify is candidate-bounded (VERDICT_r2 #1): vectors entering the
+# verify stage are exactly the candidate ids, never the corpus, and results
+# are exact
+# ---------------------------------------------------------------------------
+
+
+def test_exact_verify_pairs_candidate_bounded(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines import similarity as sim
+    from quichash_ray.state.metrics import read_metrics, reset_metrics
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    n, d = 500, 8
+    mat = rng.standard_normal((n, d))
+    data = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float64()), d
+                ),
+            }
+        )
+    ).materialize()
+    cand = [(0, 1), (2, 3), (4, 5), (10, 250), (333, 444)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id_a": pa.array([a for a, _ in cand], pa.int64()),
+                "vec_id_b": pa.array([b for _, b in cand], pa.int64()),
+            }
+        )
+    )
+    reset_metrics()
+    thr = 0.0
+    out = sim._exact_verify_pairs(data, pairs, thr, "vec_id", "embedding")
+    got = sorted(
+        (r["vec_id_a"], r["vec_id_b"]) for r in out.take_all()
+    )
+    # brute-force expectation
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    want = sorted(
+        (a, b) for a, b in cand if float(unit[a] @ unit[b]) >= thr
+    )
+    assert got == want
+    # boundedness: exactly the 10 candidate ids were encoded/shuffled,
+    # not the 500-row corpus
+    assert read_metrics().get("ann_verify_vec_rows", 0) == 10
+
+
+# ---------------------------------------------------------------------------
+# hash_exchange auto-regime: above the object-count budget it transparently
+# takes the sort-groupby path, same results, no caller flag
+# ---------------------------------------------------------------------------
+
+
+def test_hash_exchange_auto_sort_regime(ray_session, monkeypatch):
+    import ray.data
+
+    from quichash_ray.stages import exchange
+    from quichash_ray.stages.exchange import hash_exchange
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    t = pa.table(
+        {
+            "part": pa.array(rng.integers(0, 13, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        }
+    )
+    # 25 input blocks x 13 parts = 325 expected objects
+    ds = ray.data.from_arrow(
+        [t.slice(i * 200, 200) for i in range(25)]
+    ).materialize()
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        v = np.asarray(g["v"], np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "c": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    split = hash_exchange(ds, "part", agg, 13).to_pandas()
+    assert exchange._LAST_REGIME == "split"
+    # force the budget below 325 so the SAME call auto-switches to the
+    # sort-groupby regime with no caller flag
+    monkeypatch.setenv("QUICHASH_EXCHANGE_MAX_OBJECTS", "300")
+    auto = hash_exchange(ds, "part", agg, 13).to_pandas()
+    assert exchange._LAST_REGIME == "sort"
+    a = sorted(map(tuple, split[["s", "c"]].to_numpy().tolist()))
+    b = sorted(map(tuple, auto[["s", "c"]].to_numpy().tolist()))
+    assert a == b
+    assert sum(c for _, c in a) == n
+    # 13 partition outputs either way
+    assert len(a) == 13
