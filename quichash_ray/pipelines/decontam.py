@@ -62,10 +62,7 @@ def decontaminate(
 
     test = test.materialize()
     if test.count() > broadcast_limit:
-        raise NotImplementedError(
-            "test corpus above broadcast_limit — use a digest hash-join "
-            "(verify_classify-style) for giant eval sets"
-        )
+        return _decontaminate_join(train, test, text_col, id_col, emit)
 
     @ray.remote
     def block_keys(t: pa.Table):
@@ -130,3 +127,226 @@ def decontaminate(
     return train.map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _decontaminate_join(
+    train: Dataset,
+    test: Dataset,
+    text_col: str,
+    id_col: str,
+    emit: str,
+) -> Dataset:
+    """Giant-eval-set tier: co-partitioned key join, nothing broadcast.
+
+    Both sides emit (tier, key) rows — tier 0 = raw sha256 (32 B), tier 1
+    = raw fingerprint md5 (16 B) — hash-partitioned on the key's leading
+    8 bytes (keys are cryptographic, so the prefix is uniform). Membership
+    is decided per partition with a sorted fixed-width compare; matched
+    (id, tier) rows reduce per id with exact (tier 0) winning. ``clean``
+    anti-joins the matched ids back against the training rows, again
+    co-partitioned. Volumes: 48 B/row key exchange + |matched| id rows —
+    proportional to the inputs, with no corpus-wide driver or worker state.
+    Equivalence-tested against the broadcast path.
+    """
+    import ray  # noqa: F401  (parity with broadcast path; exchanges are Datasets)
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.pairverify import binary_col_parts
+    from quichash_ray.stages.partitioning import choose_num_parts
+
+    train = train.materialize()
+    num_parts = choose_num_parts(
+        train.count() + test.count(), bytes_per_row=96, target_bytes=64 << 20
+    )
+    W = {0: 32, 1: 16}  # tier → key width (sha256 / md5 raw digests)
+
+    def _key_part(keys_u8: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        """leading 8 bytes of each key → partition id."""
+        lead = np.stack(
+            [keys_u8[offs[:-1] + j] for j in range(8)], axis=1
+        ).copy()
+        return (
+            lead.view(np.uint64).reshape(-1) % np.uint64(num_parts)
+        ).astype(np.int64)
+
+    def _emit_keys(b: pa.Table, kind: int) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = (
+            b[id_col].to_pylist() if kind == 1 else [None] * b.num_rows
+        )
+        out_key, out_tier, out_id = [], [], []
+        for rid, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            enc = txt.encode("utf-8")
+            out_key.append(hashlib.sha256(enc).digest())
+            out_tier.append(0)
+            out_id.append(rid)
+            out_key.append(
+                hashlib.md5(
+                    normalize_for_fingerprint(txt).encode("utf-8")
+                ).digest()
+            )
+            out_tier.append(1)
+            out_id.append(rid)
+        key_arr = pa.array(out_key, pa.large_binary())
+        vals, offs = binary_col_parts(key_arr)
+        part = (
+            _key_part(vals, offs)
+            if len(out_key)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "key": key_arr,
+                "tier": pa.array(out_tier, pa.int8()),
+                "kind": pa.array([kind] * len(out_key), pa.int8()),
+                "rid": pa.array(out_id, pa.int64()),
+                "part": pa.array(part),
+            }
+        )
+
+    test_keys = test.map_batches(
+        lambda b: _emit_keys(b, 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    train_keys = train.map_batches(
+        lambda b: _emit_keys(b, 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _fixed_keys(tbl: pa.Table, w: int) -> np.ndarray:
+        vals, offs = binary_col_parts(tbl["key"])
+        if len(offs) <= 1:
+            return np.empty(0, f"S{w}")
+        return np.ascontiguousarray(vals[offs[0] : offs[-1]]).view(f"S{w}")
+
+    def match(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"rid": pa.array([], pa.int64()), "tier": pa.array([], pa.int8())}
+        )
+        if g.num_rows == 0 or "kind" not in g.column_names:
+            return empty
+        kind = np.asarray(g["kind"], np.int8)
+        tier = np.asarray(g["tier"], np.int8)
+        out_ids, out_tiers = [], []
+        for t, w in W.items():
+            probe = g.filter(pa.array((kind == 0) & (tier == t)))
+            cand = g.filter(pa.array((kind == 1) & (tier == t)))
+            if probe.num_rows == 0 or cand.num_rows == 0:
+                continue
+            tk = np.unique(_fixed_keys(probe, w))
+            ck = _fixed_keys(cand, w)
+            pos = np.clip(np.searchsorted(tk, ck), 0, len(tk) - 1)
+            hit = tk[pos] == ck
+            ids = np.asarray(cand["rid"], np.int64)[hit]
+            out_ids.append(ids)
+            out_tiers.append(np.full(len(ids), t, np.int8))
+        if not out_ids:
+            return empty
+        return pa.table(
+            {
+                "rid": pa.array(np.concatenate(out_ids), pa.int64()),
+                "tier": pa.array(np.concatenate(out_tiers), pa.int8()),
+            }
+        )
+
+    matched = hash_exchange(
+        [test_keys, train_keys], "part", match, num_parts
+    )
+
+    # reduce per id: exact (tier 0) wins when both tiers matched
+    def id_part(b: pa.Table) -> pa.Table:
+        rid = np.asarray(b["rid"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (rid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column(
+            "part", pa.array((part % np.uint64(num_parts)).astype(np.int64))
+        )
+
+    def reduce_ids(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "reason": pa.array([], pa.string()),
+            }
+        )
+        if g.num_rows == 0 or "rid" not in g.column_names:
+            return empty
+        rid = np.asarray(g["rid"], np.int64)
+        tier = np.asarray(g["tier"], np.int8)
+        order = np.lexsort((tier, rid))
+        rid, tier = rid[order], tier[order]
+        first = np.concatenate(([True], rid[1:] != rid[:-1]))
+        rid, tier = rid[first], tier[first]  # min tier per id
+        reason = np.where(tier == 0, "exact", "fingerprint")
+        return pa.table(
+            {
+                id_col: pa.array(rid, pa.int64()),
+                "reason": pa.array(reason.tolist(), pa.string()),
+            }
+        )
+
+    removed = hash_exchange(
+        matched.map_batches(
+            id_part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "part",
+        reduce_ids,
+        num_parts,
+    )
+    if emit == "removed":
+        return removed
+
+    # clean: co-partitioned anti-join of train rows against matched ids
+    schema = train.schema()
+    names = list(schema.names)
+    types = list(schema.types)
+
+    def train_part(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in names}
+        cols["_kind"] = pa.array(np.ones(b.num_rows, np.int8))
+        rid = np.asarray(b[id_col], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (rid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        cols["part"] = pa.array(
+            (part % np.uint64(num_parts)).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    def removed_part(b: pa.Table) -> pa.Table:
+        cols = {}
+        for n, t in zip(names, types):
+            cols[n] = b[id_col] if n == id_col else pa.nulls(b.num_rows, t)
+        cols["_kind"] = pa.array(np.zeros(b.num_rows, np.int8))
+        rid = np.asarray(b[id_col], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (rid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        cols["part"] = pa.array(
+            (part % np.uint64(num_parts)).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    left = train.map_batches(
+        train_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = removed.map_batches(
+        removed_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        empty = pa.schema(list(zip(names, types))).empty_table()
+        if g.num_rows == 0 or "_kind" not in g.column_names:
+            return empty
+        kind = np.asarray(g["_kind"], np.int8)
+        keep_tbl = g.filter(pa.array(kind == 1))
+        bad = np.unique(
+            np.asarray(g.filter(pa.array(kind == 0))[id_col], np.int64)
+        )
+        if keep_tbl.num_rows == 0:
+            return empty
+        ids = np.asarray(keep_tbl[id_col], np.int64)
+        if len(bad):
+            pos = np.clip(np.searchsorted(bad, ids), 0, len(bad) - 1)
+            keep_tbl = keep_tbl.filter(pa.array(bad[pos] != ids))
+        return keep_tbl.select(names)
+
+    return hash_exchange([left, right], "part", anti, num_parts)

@@ -270,3 +270,65 @@ def test_hash_exchange_auto_sort_regime(ray_session, monkeypatch):
     assert sum(c for _, c in a) == n
     # 13 partition outputs either way
     assert len(a) == 13
+
+
+# ---------------------------------------------------------------------------
+# decontaminate join fallback ≡ broadcast path (VERDICT_r2 #3)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_join_fallback_equivalence(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.decontam import decontaminate
+
+    test_texts = ["alpha beta gamma", "Hello   World", "unique eval doc"]
+    train_texts = [
+        "alpha beta gamma",      # exact match
+        "hello world",           # fingerprint match (case/ws normalized)
+        "HELLO\tWORLD",          # fingerprint match
+        "no relation here",      # clean
+        None,                    # null → clean, never crashes
+        "alpha beta gamma",      # second exact match, distinct id
+    ]
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(train_texts)), pa.int64()),
+                "text": pa.array(train_texts, pa.string()),
+                "extra": pa.array(
+                    [f"m{i}" for i in range(len(train_texts))], pa.string()
+                ),
+            }
+        )
+    )
+    test = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 100 + len(test_texts)), pa.int64()),
+                "text": pa.array(test_texts, pa.string()),
+            }
+        )
+    )
+
+    def rows(ds, cols):
+        return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+    # removed: broadcast vs join
+    b_rm = rows(decontaminate(train, test), ["doc_id", "reason"])
+    j_rm = rows(
+        decontaminate(train, test, broadcast_limit=0), ["doc_id", "reason"]
+    )
+    assert b_rm == j_rm
+    assert b_rm == [
+        (0, "exact"), (1, "fingerprint"), (2, "fingerprint"), (5, "exact")
+    ]
+
+    # clean: broadcast vs join (all columns survive)
+    b_cl = rows(decontaminate(train, test, emit="clean"), ["doc_id", "extra"])
+    j_cl = rows(
+        decontaminate(train, test, broadcast_limit=0, emit="clean"),
+        ["doc_id", "extra"],
+    )
+    assert b_cl == j_cl
+    assert [i for i, _ in b_cl] == [3, 4]
