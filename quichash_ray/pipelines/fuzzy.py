@@ -560,15 +560,19 @@ def fuzzy_dedup(
     # non-read corpus would otherwise re-execute per count — round-1
     # lineage-re-execution pitfall; read_parquet counts from metadata)
     n_rows = corpus.count()
+    # Fused content pass: at plasma-friendly sizes, decode the (id,
+    # content) projection from parquet ONCE and let every content consumer
+    # — the digest scan, the reps filter feeding the signature scan, and
+    # the tier-2 shingle recompute — read the same plasma blocks
+    # (zero-copy same-node gets). Round 2 decoded the content column from
+    # parquet twice (digest scan + reps materialization), the top item in
+    # the remaining DRAM-bound profile. Above the threshold (~10 GB of
+    # content on this box) streaming re-decodes beat object-store spill,
+    # so the large regime keeps the two-pass shape.
+    if n_rows <= 5_000_000:
+        corpus = corpus.select_columns([id_col, text_col]).materialize()
     membership, reps = exact_stage(corpus, id_col, text_col, n_rows=n_rows)
     membership = membership.materialize()
-    # reps (content included) is consumed TWICE — signature scan and the
-    # tier-2 shingle recompute — and lazily it re-reads the corpus each
-    # time. Materialize it while it comfortably fits the object store
-    # (~2KB/doc → ≤10GB at 5M rows on this box); above that, streaming
-    # re-reads beat plasma spill.
-    if n_rows <= 5_000_000:
-        reps = reps.materialize()
     _mark("exact_stage")
 
     # stateless tasks with per-worker-process cached state: the permutation
