@@ -556,6 +556,42 @@ def _q_corpus_substring_spans(sf_dir: str):
     return substring_stage(corpus, clusters)
 
 
+def _q_substring_spans_blocks(sf_dir: str):
+    """Hard-signal oracle for the LCS span kernel (suffix.py): clusters are
+    deterministic doc_id blocks of 5 over the documents table, min span 3
+    tokens, so the DuckDB side can recompute every longest-common-token-span
+    exactly (longest diagonal run of token matches via gaps-and-islands) —
+    the kernel is validated rows+hash while ``corpus_substring_spans``
+    (spans over real fuzzy clusters) stays the integration surface."""
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.config import FuzzyConfig
+    from quichash_ray.stages.suffix import substring_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(b["doc_id"], np.int64)
+        return pa.table(
+            {
+                "row_id": b["doc_id"],
+                "content": b["text"],
+                "cluster_id": pa.array(ids // 5, pa.int64()),
+            }
+        )
+
+    labeled = docs.map_batches(
+        label, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cfg = FuzzyConfig(suffix_min_span_tokens=3, suffix_max_cluster=64)
+    return substring_spans(labeled, cfg)
+
+
 def _q_multimodal_image_features(sf_dir: str):
     """Actor-pool media feature extraction: raw-RGB payload decode + real
     vectorized descriptors (channel stats, luminance histogram, block-mean
@@ -629,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
         "corpus_recall_report": _q_corpus_recall_report,
         "corpus_substring_spans": _q_corpus_substring_spans,
+        "substring_spans_blocks": _q_substring_spans_blocks,
         "fast_mode_digest": _q_fast_mode_digest,
         "top_wasted_groups": _q_top_wasted_groups,
         "events_window_agg": _q_events_window_agg,
@@ -672,6 +709,52 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # longest common token span per in-block doc pair: token matches on
+        # each (i - j) diagonal form runs (gaps-and-islands); the longest
+        # run IS the longest common token span — exact ground truth for the
+        # rolling-hash binary-search kernel in stages/suffix.py
+        "substring_spans_blocks": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(text, '[ \n\t]+'), t -> t <> ''
+                     ) AS toks
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(len(toks))) AS pos
+              FROM docs
+            ),
+            pairs AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM documents a JOIN documents b
+              ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+            ),
+            matches AS (
+              SELECT p.ida, p.idb, ta.pos AS i, ta.pos - tb.pos AS diag
+              FROM pairs p
+              JOIN toks ta ON ta.doc_id = p.ida
+              JOIN toks tb ON tb.doc_id = p.idb AND tb.tok = ta.tok
+            ),
+            runs AS (
+              SELECT ida, idb, count(*) AS runlen
+              FROM (
+                SELECT ida, idb, diag,
+                       i - row_number() OVER (
+                         PARTITION BY ida, idb, diag ORDER BY i
+                       ) AS grp
+                FROM matches
+              )
+              GROUP BY ida, idb, diag, grp
+            ),
+            spans AS (
+              SELECT ida, idb, max(runlen) AS span FROM runs GROUP BY ida, idb
+            )
+            SELECT ida // 5 AS cluster_id, ida AS id_a, idb AS id_b,
+                   CAST(span AS BIGINT) AS span_tokens
+            FROM spans WHERE span >= 3
+        """,
         "exact_dup_groups": f"""
             WITH {DUP_PLANTED_SQL}
             SELECT sha256(text) AS digest,
