@@ -108,6 +108,158 @@ def verify_classify(
     return joined.map_batches(classify, batch_format="pyarrow")
 
 
+def _verify_mixed_broadcast(
+    stored: Dataset,
+    current: Dataset,
+    path_col: str,
+    content_col: str,
+    digest_col: str,
+    algo_col: str,
+    fast_col: str,
+    fast_sample_size: int | None,
+) -> Dataset:
+    """Small-stored-DB tier of :func:`verify_mixed` — stored metadata
+    broadcasts once (``ray.put`` of sorted numpy arrays); the current side
+    streams through two pruned passes (classify; path-only seen-set) and
+    content never enters a shuffle. ``stored`` arrives materialized and
+    projected to (path, digest, algorithm, fast_mode)."""
+    import numpy as np
+    import ray
+
+    from quichash_ray.functions.fastmode import (
+        FAST_MODE_SAMPLE_SIZE,
+        fast_sample,
+    )
+    from quichash_ray.functions.hashes import canonical_name, get_digest_fn
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
+    S = fast_sample_size or FAST_MODE_SAMPLE_SIZE
+
+    # skip zero-row blocks — Ray can emit them with an EMPTY schema that
+    # breaks concat_tables
+    live = [
+        t
+        for t in (ray.get(r) for r in stored.to_arrow_refs())
+        if t.num_rows
+    ]
+    tbl = (
+        pa.concat_tables(live)
+        if live
+        else pa.table(
+            {
+                path_col: pa.array([], pa.string()),
+                digest_col: pa.array([], pa.string()),
+                algo_col: pa.array([], pa.string()),
+                fast_col: pa.array([], pa.bool_()),
+            }
+        )
+    )
+    sp = np.asarray(tbl[path_col].to_pylist(), dtype=object)
+    order = np.argsort(sp)
+    sp = sp[order]
+    sd = np.asarray(tbl[digest_col].to_pylist(), dtype=object)[order]
+    sa = np.asarray(tbl[algo_col].to_pylist(), dtype=object)[order]
+    sf = np.asarray(tbl[fast_col].to_pylist(), dtype=object)[order]
+    ref = ray.put((sp, sd, sa, sf))
+
+    def _positions(paths_list, sp_arr):
+        cur = np.asarray(paths_list, dtype=object)
+        if len(sp_arr) == 0:
+            return np.full(len(cur), -1, np.int64)
+        pos = np.clip(np.searchsorted(sp_arr, cur), 0, len(sp_arr) - 1)
+        hit = sp_arr[pos] == cur
+        return np.where(hit, pos, -1).astype(np.int64)
+
+    def classify(b: pa.Table) -> pa.Table:
+        spb, sdb, sab, sfb = ray.get(ref)
+        paths = b[path_col].to_pylist()
+        texts = b[content_col].to_pylist()
+        pos = _positions(paths, spb)
+        status: list[str] = []
+        expected: list[str | None] = []
+        actual: list[str | None] = []
+        fns: dict[str, Any] = {}
+        n_skipped = 0
+        for t, p in zip(texts, pos):
+            if p < 0:
+                status.append("new")
+                expected.append(None)
+                actual.append(None)
+                continue
+            e, a, f = sdb[p], sab[p], sfb[p]
+            expected.append(e)
+            if t is None:
+                status.append("missing")
+                actual.append(None)
+                continue
+            if e is None or a is None:
+                status.append("skipped")
+                actual.append(None)
+                n_skipped += 1
+                continue
+            name = canonical_name(a)
+            fn = fns.get(name)
+            if fn is None:
+                fn = fns[name] = get_digest_fn(name)
+            data = t.encode("utf-8")
+            if f:
+                data = fast_sample(data, S)
+            d = fn(data).hex()
+            actual.append(d)
+            status.append("match" if d == e else "mismatch")
+        if n_skipped:
+            metrics.add.remote("verify_mixed_skipped_null", n_skipped)
+        return pa.table(
+            {
+                path_col: b[path_col],
+                "status": pa.array(status, pa.string()),
+                "expected": pa.array(expected, pa.string()),
+                "actual": pa.array(actual, pa.string()),
+            }
+        )
+
+    classified = current.select_columns([path_col, content_col]).map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # missing = stored entries no current row touched. The seen-set pass is
+    # path-only (column-pruned — no content decode); per-block matched
+    # indices are deduplicated remotely and the driver merges arrays
+    # bounded by |stored|, never the corpus.
+    def seen_idx(b: pa.Table) -> pa.Table:
+        spb, _, _, _ = ray.get(ref)
+        pos = _positions(b[path_col].to_pylist(), spb)
+        return pa.table(
+            {"sidx": pa.array(np.unique(pos[pos >= 0]), pa.int64())}
+        )
+
+    seen = (
+        current.select_columns([path_col])
+        .map_batches(seen_idx, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    seen_chunks = [np.empty(0, np.int64)]
+    for r in seen.to_arrow_refs():
+        t = ray.get(r)
+        # empty blocks skip the UDF and surface with the pre-map schema
+        if t.num_rows and "sidx" in t.column_names:
+            seen_chunks.append(np.asarray(t["sidx"], np.int64))
+    seen_arr = np.unique(np.concatenate(seen_chunks))
+    unseen = np.setdiff1d(np.arange(len(sp)), seen_arr)
+    missing_tbl = pa.table(
+        {
+            path_col: pa.array(sp[unseen].tolist(), pa.string()),
+            "status": pa.array(["missing"] * len(unseen), pa.string()),
+            "expected": pa.array(sd[unseen].tolist(), pa.string()),
+            "actual": pa.nulls(len(unseen), pa.string()),
+        }
+    )
+    import ray.data
+
+    return classified.union(ray.data.from_arrow(missing_tbl))
+
+
 def verify_mixed(
     stored: Dataset,
     current: Dataset,
@@ -118,6 +270,7 @@ def verify_mixed(
     fast_col: str = "fast_mode",
     fast_sample_size: int | None = None,
     num_partitions: int | None = None,
+    broadcast_limit: int = 1_000_000,
 ) -> Dataset:
     """Per-entry mixed algorithm/mode verify (verify.rs:302-307): each
     stored entry is re-hashed with ITS OWN ``algorithm`` and fast/normal
@@ -133,7 +286,24 @@ def verify_mixed(
     is SKIPPED with a counted status (``verify_mixed_skipped_null`` on the
     metrics actor), per the engine's skip-and-count discipline, rather than
     misclassified as ``new`` or crashing in ``canonical_name``.
+
+    When the stored DB has at most ``broadcast_limit`` rows (the common
+    case — a DB is orders of magnitude smaller than the content it
+    verifies), the stored metadata broadcasts once as sorted numpy arrays
+    and the CONTENT NEVER RIDES A SHUFFLE: one streaming pass classifies
+    current rows, a second column-pruned path-only pass finds which stored
+    entries were seen, and the (missing) remainder — bounded by the stored
+    size — is emitted directly. Above the limit the full-outer join path
+    runs; the two are equivalence-tested.
     """
+    stored = stored.select_columns(
+        [path_col, digest_col, algo_col, fast_col]
+    ).materialize()
+    if stored.count() <= broadcast_limit:
+        return _verify_mixed_broadcast(
+            stored, current, path_col, content_col, digest_col, algo_col,
+            fast_col, fast_sample_size,
+        )
     from quichash_ray.functions.fastmode import (
         FAST_MODE_SAMPLE_SIZE,
         fast_sample,

@@ -332,3 +332,67 @@ def test_decontaminate_join_fallback_equivalence(ray_session):
     )
     assert b_cl == j_cl
     assert [i for i, _ in b_cl] == [3, 4]
+
+
+# ---------------------------------------------------------------------------
+# verify_mixed broadcast tier ≡ join tier (VERDICT_r2 #8)
+# ---------------------------------------------------------------------------
+
+
+def test_verify_mixed_broadcast_equals_join(ray_session):
+    import ray.data
+
+    from quichash_ray.functions.fastmode import fast_sample
+    from quichash_ray.pipelines.dbops import verify_mixed
+
+    texts = {"a": "x" * 300, "b": "hello world", "c": "y" * 300, "d": "gone"}
+    S = 64
+    stored = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["a", "b", "c", "d", "nul"]),
+                "digest": pa.array(
+                    [
+                        hashlib.md5(fast_sample(texts["a"].encode(), S)).hexdigest(),
+                        hashlib.sha256(texts["b"].encode()).hexdigest(),
+                        hashlib.sha256(
+                            fast_sample(texts["c"].encode(), S)
+                        ).hexdigest(),
+                        hashlib.sha256(texts["d"].encode()).hexdigest(),
+                        None,
+                    ]
+                ),
+                "algorithm": pa.array(
+                    ["md5", "sha256", "sha256", "sha256", "sha256"]
+                ),
+                "fast_mode": pa.array([True, False, True, False, False]),
+            }
+        )
+    )
+    current = ray.data.from_arrow(
+        pa.table(
+            {
+                "path": pa.array(["a", "b", "c", "e", "nul"]),
+                "text": pa.array(
+                    [texts["a"], texts["b"], texts["c"] + "!", "newfile", "zz"]
+                ),
+            }
+        )
+    )
+
+    def rows(ds):
+        return sorted(
+            (r["path"], r["status"], r["expected"], r["actual"])
+            for r in ds.take_all()
+        )
+
+    bcast = rows(verify_mixed(stored, current, fast_sample_size=S))
+    joined = rows(
+        verify_mixed(stored, current, fast_sample_size=S, broadcast_limit=0)
+    )
+    assert bcast == joined
+    by_path = {p: s for p, s, _, _ in bcast}
+    assert by_path == {
+        "a": "match", "b": "match", "c": "mismatch",
+        "d": "missing", "e": "new", "nul": "skipped",
+    }
