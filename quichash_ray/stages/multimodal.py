@@ -1,16 +1,17 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
-The *codec* step (JPEG/PNG/OGG decode) requires libraries (PIL, soundfile,
-av) that are NOT in this container, so payloads here use uncompressed raw
-layouts — images as ``width × height × 3`` uint8 RGB buffers, audio as
-int16 mono PCM — and the "decode" is a numpy reinterpretation. Everything
+The *codec* tier is wired behind optional imports: compressed payloads
+(JPEG/PNG/GIF/BMP; WAV/OGG/FLAC — detected by magic bytes) decode through
+PIL / soundfile when those libraries are installed, and raise a
+clearly-marked ``NotImplementedError`` when they are not (this container
+ships neither). Uncompressed raw layouts — images as
+``width × height × 3`` uint8 RGB buffers, audio as int16 mono PCM — decode
+everywhere via numpy reinterpretation and are the test fixture. Everything
 downstream of decode is REAL signal processing on the raw arrays
 (vectorized channel statistics, luminance histograms, block-mean
 thumbnails, per-frame RMS energy, zero-crossing rates), and everything
 Ray-side is real and tested: schema, actor-pool stage shape, batch sizing
-for large binary payloads, and output layout. A codec decoder (PIL etc.)
-drops in behind ``_decode_image`` / ``_decode_audio`` without touching any
-other line.
+for large binary payloads, and output layout.
 
 Design notes for 100 TB media:
 - binary payloads stay in ``large_binary`` columns; batches MUST be small
@@ -36,6 +37,34 @@ try:  # pragma: no cover - not in this container
 except ImportError:
     _HAS_PIL = False
 
+try:  # pragma: no cover - not in this container
+    import soundfile as _soundfile  # noqa: F401
+
+    _HAS_SOUNDFILE = True
+except ImportError:
+    _HAS_SOUNDFILE = False
+
+# magic prefixes of compressed formats the codec tier handles when its
+# library is present (JPEG / PNG / GIF / BMP; WAV-RIFF / OGG / FLAC)
+_IMG_MAGICS = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF8", b"BM")
+
+
+def _is_codec_image(payload: bytes, width: int, height: int) -> bool:
+    """Codec route iff a compressed-format magic matches AND the payload is
+    not exactly the raw w×h×3 layout — random raw bytes can start with a
+    short magic (BM is 2 bytes), and a well-formed raw payload must never
+    mis-route."""
+    return len(payload) != width * height * 3 and any(
+        payload.startswith(m) for m in _IMG_MAGICS
+    )
+
+
+def _is_codec_audio(payload: bytes) -> bool:
+    # RIFF requires the WAVE fourcc too — 12 matched bytes, not 4
+    if payload.startswith(b"RIFF"):
+        return payload[8:12] == b"WAVE"
+    return payload.startswith((b"OggS", b"fLaC"))
+
 
 def media_schema() -> pa.Schema:
     """The canonical multimodal table schema."""
@@ -53,10 +82,23 @@ def media_schema() -> pa.Schema:
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Raw-RGB "decode": payload is a width×height×3 uint8 buffer (the
-    uncompressed PPM-style layout). Short buffers tile deterministically,
-    so metadata-driven shapes always decode — a codec library replaces
-    only this function. → (h, w, 3) uint8."""
+    """→ (h, w, 3) uint8.
+
+    Compressed payloads (JPEG/PNG/GIF/BMP magic) decode through PIL when
+    it is installed; without PIL they raise — loud, not a silently wrong
+    raw reinterpretation. Everything else is the raw-RGB layout: a
+    width×height×3 uint8 buffer (uncompressed PPM-style); short buffers
+    tile deterministically so metadata-driven shapes always decode."""
+    if _is_codec_image(payload, width, height):
+        if not _HAS_PIL:
+            raise NotImplementedError(
+                "compressed image payload (codec magic detected) needs PIL, "
+                "which is not installed in this container"
+            )
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
     need = width * height * 3
     buf = np.frombuffer(payload, dtype=np.uint8)
     if len(buf) == 0:
@@ -67,8 +109,23 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """Raw-PCM "decode": payload is int16 little-endian mono samples.
-    → float32 waveform in [-1, 1]."""
+    """→ float32 mono waveform in [-1, 1].
+
+    Compressed/container payloads (RIFF/OGG/FLAC magic) decode through
+    soundfile when installed; without it they raise. Everything else is
+    raw int16 little-endian mono PCM."""
+    if _is_codec_audio(payload):
+        if not _HAS_SOUNDFILE:
+            raise NotImplementedError(
+                "container audio payload (codec magic detected) needs "
+                "soundfile, which is not installed in this container"
+            )
+        import io
+
+        wave, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+        if wave.ndim > 1:
+            wave = wave.mean(axis=1)
+        return np.ascontiguousarray(wave, dtype=np.float32)
     n = len(payload) - (len(payload) % 2)
     if n == 0:
         return np.zeros(1, np.float32)
