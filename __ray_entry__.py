@@ -189,6 +189,39 @@ def _q_gopher_quality(sf_dir: str):
     )
 
 
+def _q_clean_corpus(sf_dir: str):
+    """The composed training-data hygiene pipeline, end to end: Gopher
+    quality gate → language gate (en) → cross-corpus decontamination →
+    exact dedup keep-first — each stage an existing oracle-checked
+    operator, here chained as one streaming Dataset flow over the
+    planted-duplicate corpus. → (digest, path) of surviving documents."""
+    from quichash_ray.pipelines.decontam import decontaminate
+    from quichash_ray.pipelines.dedup import dedup_keep_first, digest_table
+    from quichash_ray.pipelines.derived import (
+        decontam_test_corpus,
+        dup_planted,
+    )
+    from quichash_ray.pipelines.textstats import gopher_quality, language_id
+    from quichash_ray.stages.lookup import semi_join_broadcast
+
+    docs = _docs(sf_dir)
+    passing = gopher_quality(
+        docs, min_tokens=5, min_stopword_ratio_bp=100, max_dup_3gram_bp=2000
+    ).filter(expr="passes == 1").select_columns(["doc_id"])
+    english = language_id(docs).filter(
+        expr="pred_lang == 'en'"
+    ).select_columns(["doc_id"])
+    planted = dup_planted(docs)
+    gated = semi_join_broadcast(
+        semi_join_broadcast(planted, passing, "doc_id"), english, "doc_id"
+    )
+    clean = decontaminate(
+        gated, decontam_test_corpus(docs), id_col="path", emit="clean"
+    )
+    digests = digest_table(clean, content_col="text", key_cols=("path",))
+    return dedup_keep_first(digests, id_col="path")
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from quichash_ray.pipelines.ngram import jaccard_pairs
 
@@ -690,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "gopher_quality": _q_gopher_quality,
         "decontaminate": _q_decontaminate,
+        "clean_corpus": _q_clean_corpus,
         "knn_topk": _q_knn_topk,
         "embedding_neardup": _q_embedding_neardup,
     }
@@ -974,6 +1008,79 @@ def oracle_sql() -> dict[str, str]:
                        text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents
+        """,
+        # the composed hygiene pipeline: quality gate + language gate +
+        # decontamination + exact keep-first, each tier copied verbatim
+        # from its standalone oracle above/below
+        "clean_corpus": f"WITH {DUP_PLANTED_SQL}," + r"""
+            toks AS (
+                SELECT doc_id, text, regexp_extract_all(text, '\S+') AS t
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks
+            ),
+            g3 AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                FROM idx
+            ),
+            dist AS (SELECT doc_id, count(DISTINCT g) AS d3 FROM g3 GROUP BY 1),
+            base AS (
+                SELECT k.doc_id,
+                       len(k.t) AS n_tok,
+                       len(regexp_extract_all(k.text, '\b(the|a|an|of|to|and|in|is|it|that|for|on|with|as|at|by|be|this|are|or)\b'))
+                           AS sw_hits,
+                       CASE WHEN len(k.t) >= 3
+                            THEN (10000 * (len(k.t) - 2 - coalesce(di.d3, 0)))
+                                 // (len(k.t) - 2)
+                            ELSE 0 END AS dup_bp
+                FROM toks k LEFT JOIN dist di ON di.doc_id = k.doc_id
+            ),
+            q AS (
+                SELECT doc_id FROM base
+                WHERE n_tok >= 5 AND n_tok <= 100000
+                  AND (10000 * sw_hits) // greatest(n_tok, 1) >= 100
+                  AND dup_bp <= 2000
+            ),
+            sc AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS score_en,
+                    len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')) AS score_de,
+                    len(regexp_extract_all(text, '\b(le|la|les|et|est|une)\b')) AS score_fr
+                FROM documents
+            ),
+            lng AS (
+                SELECT doc_id FROM sc
+                WHERE NOT (score_fr > greatest(score_en, score_de))
+                  AND NOT (score_de > score_en)
+            ),
+            test AS (
+                SELECT sha256(text) AS dg,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                           AS fp
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT sha256(upper(text) || '  ') AS dg,
+                       md5(trim(regexp_replace(lower(upper(text) || '  '),
+                                               '\s+', ' ', 'g'))) AS fp
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            surv AS (
+                SELECT d.path, d.text FROM d
+                WHERE d.doc_id IN (SELECT doc_id FROM q)
+                  AND d.doc_id IN (SELECT doc_id FROM lng)
+                  AND NOT EXISTS (SELECT 1 FROM test t
+                                  WHERE t.dg = sha256(d.text))
+                  AND NOT EXISTS (
+                      SELECT 1 FROM test t
+                      WHERE t.fp = md5(trim(regexp_replace(lower(d.text),
+                                                           '\s+', ' ', 'g')))
+                  )
+            )
+            SELECT sha256(text) AS digest, min(path) AS path
+            FROM surv GROUP BY 1
         """,
         "decontaminate": r"""
             WITH test AS (

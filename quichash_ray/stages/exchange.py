@@ -16,16 +16,23 @@ task per partition gathering its slices — which is exactly the case the
 design rules reserve raw tasks for: semantics the Dataset API expresses
 only through a sort it doesn't need.
 
-Scale notes: the split/merge path creates blocks × num_parts small objects;
-both grow ~linearly with input, so a 10^4-block × 10^3-partition cluster job
-would create 10^7 objects and resident-materialize its whole input in
-plasma. The exchange therefore AUTO-SELECTS its regime: when the expected
-object count exceeds ``QUICHASH_EXCHANGE_MAX_OBJECTS`` (default 10^6) it
-transparently takes the Dataset-native sort-groupby path (Ray Data's
-streaming shuffle — slower locally, but no object-count blowup and no
-full-input plasma residency). Callers never pass the flag;
-``use_sort_groupby=True`` remains as the explicit semantics reference used
-by the equivalence tests.
+Scale notes: the flat split/merge path creates blocks × num_parts small
+objects; both grow ~linearly with input, so a 10^4-block × 10^3-partition
+cluster job would create 10^7 objects. The exchange AUTO-SELECTS its
+regime by expected object count (``QUICHASH_EXCHANGE_MAX_OBJECTS``,
+default 10^6):
+
+- under the budget → flat split/merge (one slice per block per partition);
+- over it → TWO-LEVEL split/merge: blocks split into S super-partitions
+  (contiguous partition ranges, S sized to the budget), one merge task per
+  super-partition then applies ``fn`` per final partition locally —
+  objects drop from B×P to B×S + S while staying on the measured-3×-faster
+  raw-task path;
+- only when even S would be tiny (pathological block counts) → the
+  Dataset-native sort-groupby streaming shuffle.
+
+Callers never pass the flag; ``use_sort_groupby=True`` remains as the
+explicit semantics reference used by the equivalence tests.
 """
 
 from __future__ import annotations
@@ -148,12 +155,20 @@ def hash_exchange(
         refs.extend(m.to_arrow_refs())
     if not refs:
         return ray.data.from_arrow(fn(_empty_like(ds_list[0])))
-    if use_sort_groupby is None and len(refs) * num_parts > _max_objects():
-        # auto-switch: the split/merge object count would blow the budget —
-        # take Ray Data's streaming sort shuffle over the (already
-        # materialized) inputs instead
-        return _sort_path(mats)
     global _LAST_REGIME
+    budget = _max_objects()
+    if use_sort_groupby is None and len(refs) * num_parts > budget:
+        # over the object budget: try the two-level shape — S super-
+        # partitions sized so blocks × S fits the budget but enough tasks
+        # exist to keep the cluster busy
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        S = min(num_parts, max(2 * n_cpus, 2), budget // len(refs))
+        if S >= 4:
+            return _two_level_exchange(
+                refs, part_col, fn, num_parts, int(S), drop_part
+            )
+        # pathological block count — fall back to the streaming sort shuffle
+        return _sort_path(mats)
     _LAST_REGIME = "split"
     num_parts = max(2, num_parts)  # num_returns=1 would unwrap the tuple
     split_refs = [
@@ -163,5 +178,84 @@ def hash_exchange(
     merged = [
         merge_part.remote(*[sr[p] for sr in split_refs])
         for p in range(num_parts)
+    ]
+    return ray.data.from_arrow_refs(merged)
+
+
+def _two_level_exchange(
+    refs: list,
+    part_col: str,
+    fn: Callable[[pa.Table], pa.Table],
+    num_parts: int,
+    num_super: int,
+    drop_part: bool,
+):
+    """Two-level split/merge: level 1 routes rows to ``num_super``
+    contiguous partition RANGES (B × S objects); the level-2 task for a
+    range holds every row of its partitions, so it applies ``fn`` per
+    final partition locally and emits one concatenated result block —
+    no third hop. Equivalent to the flat exchange for any per-partition
+    ``fn``; result has ``num_super`` blocks instead of ``num_parts``.
+    """
+    import ray
+    import ray.data
+
+    P, S = num_parts, num_super
+
+    @ray.remote
+    def split_super(t: pa.Table):
+        if t.num_rows == 0 or part_col not in t.column_names:
+            empty = t.slice(0, 0)
+            return (empty,) * S if S > 1 else (empty,)
+        part = np.asarray(t[part_col], dtype=np.int64)
+        order = np.argsort(part, kind="stable")
+        t2 = t.take(pa.array(order, pa.int64()))
+        ps = part[order]
+        if ps[0] < 0 or ps[-1] >= P:
+            raise ValueError(
+                f"{part_col} values outside [0, {P}): "
+                f"min={ps[0]}, max={ps[-1]}"
+            )
+        # super s owns partitions [s*P//S, (s+1)*P//S)
+        edges = (np.arange(S + 1, dtype=np.int64) * P) // S
+        bounds = np.searchsorted(ps, edges)
+        return tuple(
+            t2.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(S)
+        )
+
+    @ray.remote
+    def merge_super(s: int, *tbls):
+        live = [t for t in tbls if t.num_rows]
+        lo = (s * P) // S
+        hi = ((s + 1) * P) // S
+        if not live:
+            base = tbls[0].schema if tbls else None
+            empty = base.empty_table() if base is not None else pa.table({})
+            if drop_part and part_col in empty.column_names:
+                empty = empty.drop_columns([part_col])
+            outs = [fn(empty) for _ in range(lo, hi)]
+            return pa.concat_tables(outs, promote_options="default")
+        g = pa.concat_tables(live, promote_options="default")
+        part = np.asarray(g[part_col], dtype=np.int64)
+        order = np.argsort(part, kind="stable")
+        g2 = g.take(pa.array(order, pa.int64()))
+        if drop_part:
+            g2 = g2.drop_columns([part_col])
+        ps = part[order]
+        bounds = np.searchsorted(ps, np.arange(lo, hi + 1))
+        outs = [
+            fn(g2.slice(bounds[i], bounds[i + 1] - bounds[i]))
+            for i in range(hi - lo)
+        ]
+        return pa.concat_tables(outs, promote_options="default")
+
+    global _LAST_REGIME
+    _LAST_REGIME = "split2"
+    split_refs = [
+        split_super.options(num_returns=S).remote(r) for r in refs
+    ]
+    merged = [
+        merge_super.remote(s, *[sr[s] for sr in split_refs])
+        for s in range(S)
     ]
     return ray.data.from_arrow_refs(merged)

@@ -11,6 +11,10 @@ via :func:`read_metrics` and record them in lineage sidecars / bench output.
 from __future__ import annotations
 
 _ACTOR_NAME = "quichash_metrics"
+# explicit namespace: a detached actor in the session's anonymous
+# namespace makes the raylet print a stdout warning (which would pollute
+# bench.py's one-JSON-line contract) and could not be re-found anyway
+_NAMESPACE = "quichash"
 
 
 def _actor_cls():
@@ -44,7 +48,10 @@ def get_metrics_actor():
     """
     cls = _actor_cls()
     return cls.options(
-        name=_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+        name=_ACTOR_NAME,
+        namespace=_NAMESPACE,
+        get_if_exists=True,
+        lifetime="detached",
     ).remote()
 
 
@@ -52,7 +59,7 @@ def read_metrics() -> dict[str, int]:
     import ray
 
     try:
-        actor = ray.get_actor(_ACTOR_NAME)
+        actor = ray.get_actor(_ACTOR_NAME, namespace=_NAMESPACE)
     except ValueError:
         return {}
     return ray.get(actor.get_all.remote())
@@ -62,7 +69,7 @@ def reset_metrics() -> dict[str, int]:
     import ray
 
     try:
-        actor = ray.get_actor(_ACTOR_NAME)
+        actor = ray.get_actor(_ACTOR_NAME, namespace=_NAMESPACE)
     except ValueError:
         return {}
     return ray.get(actor.reset.remote())

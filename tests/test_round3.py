@@ -259,16 +259,21 @@ def test_hash_exchange_auto_sort_regime(ray_session, monkeypatch):
 
     split = hash_exchange(ds, "part", agg, 13).to_pandas()
     assert exchange._LAST_REGIME == "split"
-    # force the budget below 325 so the SAME call auto-switches to the
-    # sort-groupby regime with no caller flag
+    # budget below 25 blocks x 13 parts: auto-switches to the TWO-LEVEL
+    # split/merge (S super-partitions), no caller flag
     monkeypatch.setenv("QUICHASH_EXCHANGE_MAX_OBJECTS", "300")
-    auto = hash_exchange(ds, "part", agg, 13).to_pandas()
+    auto2 = hash_exchange(ds, "part", agg, 13).to_pandas()
+    assert exchange._LAST_REGIME == "split2"
+    # budget so tight even S would be tiny: streaming sort-groupby regime
+    monkeypatch.setenv("QUICHASH_EXCHANGE_MAX_OBJECTS", "60")
+    auto_sort = hash_exchange(ds, "part", agg, 13).to_pandas()
     assert exchange._LAST_REGIME == "sort"
     a = sorted(map(tuple, split[["s", "c"]].to_numpy().tolist()))
-    b = sorted(map(tuple, auto[["s", "c"]].to_numpy().tolist()))
-    assert a == b
+    for other in (auto2, auto_sort):
+        b = sorted(map(tuple, other[["s", "c"]].to_numpy().tolist()))
+        assert a == b
     assert sum(c for _, c in a) == n
-    # 13 partition outputs either way
+    # 13 partition outputs in every regime
     assert len(a) == 13
 
 
