@@ -653,6 +653,26 @@ def _q_multimodal_image_features(sf_dir: str):
     return out.map_batches(drop_list, batch_format="pyarrow")
 
 
+def _q_multimodal_video_frames(sf_dir: str):
+    """Actor-pool video frame-sampling: raw elementary-stream decode →
+    K evenly-sampled frames, per-frame descriptors, scene-change score,
+    sampled-frame digest (the fast-mode sampling pattern applied to
+    media). Container codecs decode via PyAV when present (absent here —
+    raw layout is the fixture). Rows-only."""
+    from quichash_ray.stages.multimodal import (
+        synthetic_media,
+        video_frame_features,
+    )
+
+    clips = synthetic_media(200, seed=42).filter(expr="kind == 'video'")
+    out = video_frame_features(clips, n_sample=4)
+    # projection, not a map: immune to Ray forwarding empty post-filter
+    # blocks around the UDF with their pre-map schema
+    return out.select_columns(
+        ["media_id", "n_frames", "scene_change", "frame_digest"]
+    )
+
+
 def _q_embedding_recall_report(sf_dir: str):
     """OR-amplified multi-band hyperplane LSH vs exact cosine pairs —
     one-row recall report (recall_bp = basis points). The pytest gate
@@ -705,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_hopping_agg": _q_events_hopping_agg,
         "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_video_frames": _q_multimodal_video_frames,
         "embedding_recall_report": _q_embedding_recall_report,
         "ivf_recall_report": _q_ivf_recall_report,
         "ivf_knn_topk": _q_ivf_knn_topk,

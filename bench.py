@@ -74,6 +74,7 @@ def run_suite() -> dict:
         "token_counts",
         "fingerprints",
         "decontaminate",
+        "clean_corpus",
         "ngram_jaccard",
         "knn_topk",
         "embedding_neardup",

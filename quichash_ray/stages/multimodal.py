@@ -1,12 +1,13 @@
 """Multimodal columns — image/audio/video as opaque binary + typed metadata.
 
 The *codec* tier is wired behind optional imports: compressed payloads
-(JPEG/PNG/GIF/BMP; WAV/OGG/FLAC — detected by magic bytes) decode through
-PIL / soundfile when those libraries are installed, and raise a
-clearly-marked ``NotImplementedError`` when they are not (this container
-ships neither). Uncompressed raw layouts — images as
-``width × height × 3`` uint8 RGB buffers, audio as int16 mono PCM — decode
-everywhere via numpy reinterpretation and are the test fixture. Everything
+(JPEG/PNG/GIF/BMP; WAV/OGG/FLAC; MP4/MKV/AVI — detected by magic bytes)
+decode through PIL / soundfile / PyAV when those libraries are installed,
+and raise a clearly-marked ``NotImplementedError`` when they are not
+(this container ships none of them). Uncompressed raw layouts — images as
+``width × height × 3`` uint8 RGB buffers, audio as int16 mono PCM, video
+as consecutive raw-RGB frames — decode everywhere via numpy
+reinterpretation and are the test fixture. Everything
 downstream of decode is REAL signal processing on the raw arrays
 (vectorized channel statistics, luminance histograms, block-mean
 thumbnails, per-frame RMS energy, zero-crossing rates), and everything
@@ -44,6 +45,13 @@ try:  # pragma: no cover - not in this container
 except ImportError:
     _HAS_SOUNDFILE = False
 
+try:  # pragma: no cover - not in this container
+    import av as _av  # noqa: F401
+
+    _HAS_AV = True
+except ImportError:
+    _HAS_AV = False
+
 # magic prefixes of compressed formats the codec tier handles when its
 # library is present (JPEG / PNG / GIF / BMP; WAV-RIFF / OGG / FLAC)
 _IMG_MAGICS = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF8", b"BM")
@@ -57,6 +65,15 @@ def _is_codec_image(payload: bytes, width: int, height: int) -> bool:
     return len(payload) != width * height * 3 and any(
         payload.startswith(m) for m in _IMG_MAGICS
     )
+
+
+def _is_codec_video(payload: bytes) -> bool:
+    """MP4/MOV (ftyp box at offset 4), Matroska/WebM (EBML), AVI (RIFF)."""
+    if payload[4:8] == b"ftyp":
+        return True
+    if payload.startswith(b"\x1aE\xdf\xa3"):
+        return True
+    return payload.startswith(b"RIFF") and payload[8:12] == b"AVI "
 
 
 def _is_codec_audio(payload: bytes) -> bool:
@@ -132,6 +149,37 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     return (
         np.frombuffer(payload[:n], dtype="<i2").astype(np.float32) / 32768.0
     )
+
+
+def _decode_video(payload: bytes, width: int, height: int) -> np.ndarray:
+    """→ (n_frames, h, w, 3) uint8.
+
+    Container payloads (MP4/MKV/AVI magic) decode through PyAV when it is
+    installed; without it they raise — loud, never a silently wrong raw
+    reinterpretation. Everything else is the raw layout: consecutive
+    uncompressed width×height×3 RGB frames (a raw video elementary
+    stream); a short buffer tiles deterministically to one frame."""
+    if _is_codec_video(payload):
+        if not _HAS_AV:
+            raise NotImplementedError(
+                "container video payload (codec magic detected) needs PyAV, "
+                "which is not installed in this container"
+            )
+        import io
+
+        frames = []
+        with _av.open(io.BytesIO(payload)) as container:  # pragma: no cover
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+        return np.stack(frames)
+    frame_bytes = width * height * 3
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) < frame_bytes:
+        if len(buf) == 0:
+            buf = np.zeros(1, np.uint8)
+        buf = np.tile(buf, frame_bytes // len(buf) + 1)[:frame_bytes]
+    n_frames = len(buf) // frame_bytes
+    return buf[: n_frames * frame_bytes].reshape(n_frames, height, width, 3)
 
 
 _THUMB = 4  # thumbnail side
@@ -260,6 +308,74 @@ class AudioFrameSampleActor:
         )
 
 
+class VideoFrameSampleActor:
+    """Actor-pool stage: video payloads → K evenly-sampled frames, each
+    reduced to the 30-dim image descriptor (real per-frame statistics),
+    plus a scene-change score (mean absolute luminance delta between
+    consecutive sampled frames) and a deterministic sampled-frame digest.
+
+    The frame-sample pattern is the media analog of fast-mode digesting
+    (reference ``src/hash.rs`` sampling: head/tail/stride windows instead
+    of the full stream)."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = n_sample
+        self.out_dim = n_sample * IMAGE_FEATURE_DIM
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, scene, n_frames_col, digests = [], [], [], []
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        for payload, w, h in zip(
+            batch["payload"].to_pylist(), widths, heights
+        ):
+            vid = _decode_video(
+                payload or b"", max(1, w or 1), max(1, h or 1)
+            )
+            n = vid.shape[0]
+            idx = np.unique(
+                np.linspace(0, n - 1, self.n_sample).round().astype(np.int64)
+            )
+            sampled = vid[idx]
+            per_frame = [image_feature_vector(fr) for fr in sampled]
+            # pad by repeating the last frame's descriptor when the clip
+            # has fewer than n_sample distinct frames — fixed-size output
+            while len(per_frame) < self.n_sample:
+                per_frame.append(per_frame[-1])
+            feats.append(np.concatenate(per_frame).astype(np.float32))
+            lum = (
+                0.299 * sampled[:, :, :, 0].astype(np.float32)
+                + 0.587 * sampled[:, :, :, 1]
+                + 0.114 * sampled[:, :, :, 2]
+            ) / 255.0
+            scene.append(
+                float(np.abs(np.diff(lum, axis=0)).mean())
+                if lum.shape[0] > 1
+                else 0.0
+            )
+            n_frames_col.append(n)
+            digests.append(hashlib.sha256(sampled.tobytes()).hexdigest())
+        out = batch.drop_columns(["payload"])
+        mat = (
+            np.stack(feats)
+            if feats
+            else np.empty((0, self.out_dim), np.float32)
+        )
+        out = out.append_column(
+            "frame_features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), self.out_dim
+            ),
+        )
+        out = out.append_column(
+            "n_frames", pa.array(n_frames_col, pa.int32())
+        )
+        out = out.append_column("scene_change", pa.array(scene, pa.float64()))
+        return out.append_column(
+            "frame_digest", pa.array(digests, pa.string())
+        )
+
+
 def image_features(
     ds: Dataset, concurrency: int = 4, batch_size: int = 16
 ) -> Dataset:
@@ -286,10 +402,31 @@ def audio_frame_digests(
     )
 
 
+def video_frame_features(
+    ds: Dataset,
+    concurrency: int = 4,
+    batch_size: int = 8,
+    n_sample: int = 4,
+) -> Dataset:
+    """Media table → per-clip sampled-frame descriptors + scene-change
+    score. Smaller default batch than images: a clip payload is
+    n_frames × the image size."""
+    return ds.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_kwargs={"n_sample": n_sample},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def synthetic_media(n: int, seed: int = 42):
     """Deterministic fake media table matching :func:`media_schema` —
-    image payloads are true raw-RGB buffers sized width×height×3; audio
-    payloads are int16 PCM sine-plus-noise."""
+    image payloads are true raw-RGB buffers sized width×height×3; video
+    payloads are raw elementary streams of consecutive RGB frames with a
+    per-frame brightness drift; audio payloads are int16 PCM
+    sine-plus-noise."""
     import ray.data
 
     rng = np.random.Generator(np.random.Philox(key=[seed, 9]))
@@ -306,6 +443,20 @@ def synthetic_media(n: int, seed: int = 42):
             widths.append(w)
             heights.append(h)
             durations.append(0)
+        elif kind == "video":
+            w = int(rng.integers(8, 24))
+            h = int(rng.integers(8, 24))
+            n_frames = int(rng.integers(3, 11))
+            base = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+            drift = np.minimum(
+                base[None].astype(np.int32)
+                + (np.arange(n_frames, dtype=np.int32) * 5)[:, None, None, None],
+                255,
+            ).astype(np.uint8)
+            payloads.append(drift.tobytes())
+            widths.append(w)
+            heights.append(h)
+            durations.append(n_frames * 40)
         else:
             n_samp = int(rng.integers(500, 4000))
             t = np.arange(n_samp, dtype=np.float32)

@@ -49,6 +49,63 @@ def test_audio_frame_digests(ray_session):
     assert "payload" not in out.columns
 
 
+def test_video_frame_features_pipeline(ray_session):
+    from quichash_ray.stages.multimodal import (
+        IMAGE_FEATURE_DIM,
+        video_frame_features,
+    )
+
+    ds = synthetic_media(30, seed=42).filter(expr="kind == 'video'")
+    out = video_frame_features(ds, concurrency=2, n_sample=4).to_pandas()
+    assert len(out) == 10
+    assert "payload" not in out.columns
+    assert all(len(v) == 4 * IMAGE_FEATURE_DIM for v in out["frame_features"])
+    assert out["frame_digest"].str.len().eq(64).all()
+    assert (out["n_frames"] >= 3).all()
+    # the synthetic clips have a per-frame brightness drift → nonzero
+    # scene-change score on every multi-frame clip
+    assert (out["scene_change"] > 0).all()
+
+
+def test_video_scene_change_semantics():
+    import pyarrow as pa
+
+    from quichash_ray.stages.multimodal import VideoFrameSampleActor
+
+    w = h = 8
+    static = np.full((4, h, w, 3), 100, np.uint8).tobytes()
+    flicker = np.stack(
+        [np.full((h, w, 3), 255 * (i % 2), np.uint8) for i in range(4)]
+    ).tobytes()
+    batch = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([static, flicker], pa.large_binary()),
+            "width": pa.array([w, w], pa.int32()),
+            "height": pa.array([h, h], pa.int32()),
+        }
+    )
+    out = VideoFrameSampleActor(n_sample=4)(batch)
+    scene = out["scene_change"].to_pylist()
+    assert scene[0] == 0.0  # identical frames
+    assert scene[1] > 0.9  # black↔white flips every frame
+    assert out["n_frames"].to_pylist() == [4, 4]
+
+
+def test_video_codec_magic_raises():
+    from quichash_ray.stages.multimodal import _decode_video
+
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 64
+    with pytest.raises(NotImplementedError):
+        _decode_video(mp4, 8, 8)
+    mkv = b"\x1aE\xdf\xa3" + b"\x00" * 64
+    with pytest.raises(NotImplementedError):
+        _decode_video(mkv, 8, 8)
+    # raw stream of 2 frames decodes fine
+    raw = np.zeros((2, 8, 8, 3), np.uint8).tobytes()
+    assert _decode_video(raw, 8, 8).shape == (2, 8, 8, 3)
+
+
 def test_strict_mode_raises_without_codecs():
     with pytest.raises(NotImplementedError):
         ImageFeatureActor(strict=True)
