@@ -81,6 +81,11 @@ def run_suite() -> dict:
         "embedding_recall_report",
         "ivf_recall_report",
     ]
+    # warm the worker pool (untimed) so the first query doesn't absorb
+    # process spin-up — same rationale as _warmup() on the scaling legs
+    ray.data.range(100_000, override_num_blocks=64).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in bench_queries:

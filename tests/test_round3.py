@@ -225,6 +225,54 @@ def test_exact_verify_pairs_candidate_bounded(ray_session):
 # ---------------------------------------------------------------------------
 
 
+def test_two_level_exchange_skew_and_empty_parts(ray_session, monkeypatch):
+    """Forced split2 regime with every row in ONE final partition: the
+    level-2 task must still apply fn once per final partition (empty
+    slices included), keep per-partition exactness, and respect
+    drop_part=False."""
+    import ray.data
+
+    from quichash_ray.stages import exchange
+    from quichash_ray.stages.exchange import hash_exchange
+
+    n, P = 2_000, 17
+    t = pa.table(
+        {
+            "part": pa.array(np.full(n, 5), pa.int64()),  # all rows → part 5
+            "v": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(
+        [t.slice(i * 100, 100) for i in range(20)]
+    ).materialize()
+
+    def per_part(g: pa.Table) -> pa.Table:
+        # one row per fn call, even when the partition is empty —
+        # makes the call-per-final-partition contract observable
+        has_part = "part" in g.column_names
+        return pa.table(
+            {
+                "n": pa.array([g.num_rows], pa.int64()),
+                "kept_part": pa.array([int(has_part)], pa.int64()),
+            }
+        )
+
+    monkeypatch.setenv("QUICHASH_EXCHANGE_MAX_OBJECTS", "200")
+    out = hash_exchange(ds, "part", per_part, P).to_pandas()
+    assert exchange._LAST_REGIME == "split2"
+    assert len(out) == P  # fn ran once per final partition
+    assert out["n"].sum() == n
+    assert sorted(out["n"])[-1] == n  # the skewed partition holds all rows
+    assert (out["kept_part"] == 0).all()  # drop_part=True default
+
+    out2 = hash_exchange(
+        ds, "part", per_part, P, drop_part=False
+    ).to_pandas()
+    assert exchange._LAST_REGIME == "split2"
+    assert (out2["kept_part"] == 1).all()
+    assert out2["n"].sum() == n
+
+
 def test_hash_exchange_auto_sort_regime(ray_session, monkeypatch):
     import ray.data
 
