@@ -225,6 +225,72 @@ def test_exact_verify_pairs_candidate_bounded(ray_session):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.parametrize("regime_budget", [None, "120"])
+@pytest.mark.parametrize("num_parts", [2, 7, 40])
+def test_exchange_regime_grid(ray_session, monkeypatch, regime_budget, num_parts):
+    """Randomized grid over partition counts × regimes (flat vs forced
+    two-level), list-of-datasets input, P larger than distinct keys:
+    per-partition sums must match a pandas groupby reference exactly."""
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+
+    if regime_budget is not None:
+        monkeypatch.setenv("QUICHASH_EXCHANGE_MAX_OBJECTS", regime_budget)
+    rng = np.random.default_rng(31 + num_parts)
+    n = 1_500
+    part = rng.integers(0, min(num_parts, 5), n)  # fewer keys than P
+    v = rng.integers(-100, 100, n)
+    t = pa.table(
+        {
+            "part": pa.array(part, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    # two datasets as a list input, uneven block sizes
+    ds_a = ray.data.from_arrow(
+        [t.slice(0, 400), t.slice(400, 100)]
+    ).materialize()
+    ds_b = ray.data.from_arrow(
+        [t.slice(500, 50), t.slice(550, 150), t.slice(700, 250),
+         t.slice(950, 550)]
+    ).materialize()
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        p = np.asarray(g["part"], np.int64)
+        vv = np.asarray(g["v"], np.int64)
+        assert np.unique(p % 1000).size <= len(set(p))  # sanity
+        out_p, out_s = [], []
+        for key in np.unique(p):
+            out_p.append(int(key))
+            out_s.append(int(vv[p == key].sum()))
+        return pa.table(
+            {"p": pa.array(out_p, pa.int64()), "s": pa.array(out_s, pa.int64())}
+        )
+
+    got = (
+        hash_exchange([ds_a, ds_b], "part", agg, num_parts, drop_part=False)
+        .to_pandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"p": part, "v": v})
+        .groupby("p", as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "s"})
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    assert got[["p", "s"]].to_dict("records") == want.to_dict("records")
+
+
 def test_two_level_exchange_skew_and_empty_parts(ray_session, monkeypatch):
     """Forced split2 regime with every row in ONE final partition: the
     level-2 task must still apply fn once per final partition (empty
