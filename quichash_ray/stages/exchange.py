@@ -20,7 +20,8 @@ Scale notes: the flat split/merge path creates blocks × num_parts small
 objects; both grow ~linearly with input, so a 10^4-block × 10^3-partition
 cluster job would create 10^7 objects. The exchange AUTO-SELECTS its
 regime by expected object count (``QUICHASH_EXCHANGE_MAX_OBJECTS``,
-default 10^6):
+default 32768 — the measured flat↔two-level crossover band, see
+``_MAX_OBJECTS_DEFAULT``):
 
 - under the budget → flat split/merge (one slice per block per partition);
 - over it → TWO-LEVEL split/merge: blocks split into S super-partitions
@@ -46,7 +47,12 @@ from ray.data import Dataset
 
 # above this many expected shuffle objects (input blocks × num_parts) the
 # split/merge path is counterproductive — auto-switch to sort-groupby
-_MAX_OBJECTS_DEFAULT = 1_000_000
+# Measured crossover (32 CPUs, 2-col int64 payloads, 2026-08-17): flat
+# split/merge ties two-level at ~8k expected objects and loses 2-4× from
+# ~32k up (4.2× at 64×512, 4.9× at 256×1024 where flat is even slower
+# than the sort path); the production fuzzy pipeline's own exchanges
+# (blocks×P ≤ ~25k at 8M rows) stay measurably best on the flat path.
+_MAX_OBJECTS_DEFAULT = 32_768
 
 
 def _max_objects() -> int:
