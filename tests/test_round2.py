@@ -575,9 +575,10 @@ def test_cli_verify_mixed(tmp_path, ray_session, capsys):
 
 
 def test_ivf_knn_recall_at_5(ray_session):
-    """IVF pruned top-k vs exact top-k: recall@5 ≥ 0.8 at nprobe=8/nlist=16
-    on the (weakly clustered) test embeddings — clustered production
-    embeddings need far fewer probes."""
+    """IVF pruned top-k vs exact top-k: recall@5 ≥ 0.9 at nprobe=8/nlist=16
+    on the (weakly clustered) test embeddings — measured 1.00 with the
+    default data_assign=2 redundant inverted lists (0.86 at a=1);
+    clustered production embeddings need far fewer probes."""
     import ray.data
 
     from quichash_ray.pipelines.similarity import ivf_knn, knn_topk
@@ -593,7 +594,7 @@ def test_ivf_knn_recall_at_5(ray_session):
             ds, list(range(10)), k=5, nlist=16, nprobe=8
         ).take_all()
     }
-    assert len(exact & approx) / len(exact) >= 0.8
+    assert len(exact & approx) / len(exact) >= 0.9
 
 
 def test_hash_exchange_envelope(ray_session):
