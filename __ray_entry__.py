@@ -713,9 +713,23 @@ def _q_ivf_recall_report(sf_dir: str):
     )
 
 
+def _q_repo_neardup(sf_dir: str):
+    """Repo-level near-dup (fork detection): Jaccard over per-repo
+    distinct file-digest sets, exact via an inverted digest index —
+    the file-dedup digest machinery (reference dedup.rs:540-620) lifted
+    one level to whole source-code repositories."""
+    from quichash_ray.pipelines.derived import repo_forked
+    from quichash_ray.pipelines.repodedup import repo_neardup
+
+    return repo_neardup(
+        repo_forked(_docs(sf_dir)), threshold_bp=5000, content_col="content"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
+        "repo_neardup": _q_repo_neardup,
         "corpus_recall_report": _q_corpus_recall_report,
         "corpus_substring_spans": _q_corpus_substring_spans,
         "substring_spans_blocks": _q_substring_spans_blocks,
@@ -758,12 +772,42 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
     MIXED_VERIFY_SCENARIO_SQL,
+    REPO_FORKED_SQL,
     VERIFY_SCENARIO_SQL,
 )
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # repo-pair Jaccard over distinct file-digest sets; the df cap
+        # (256) and the threshold use integer arithmetic on both sides so
+        # the comparison is hash-exact
+        "repo_neardup": f"""
+            WITH {REPO_FORKED_SQL.strip().rstrip()},
+            fd AS (SELECT DISTINCT repo, sha256(content) AS dg FROM rp),
+            dfc AS (SELECT dg, count(*) AS c FROM fd GROUP BY dg),
+            fdf AS (
+              SELECT fd.repo, fd.dg FROM fd
+              JOIN dfc ON dfc.dg = fd.dg WHERE dfc.c <= 256
+            ),
+            sizes AS (
+              SELECT repo, count(*)::BIGINT AS sz FROM fdf GROUP BY repo
+            ),
+            inter AS (
+              SELECT a.repo AS repo_a, b.repo AS repo_b,
+                     count(*)::BIGINT AS inter
+              FROM fdf a JOIN fdf b ON a.dg = b.dg AND a.repo < b.repo
+              GROUP BY 1, 2
+            )
+            SELECT repo_a, repo_b, inter,
+                   (sa.sz + sb.sz - inter) AS union_cnt,
+                   ((10000 * inter) // (sa.sz + sb.sz - inter)) AS jacc_bp,
+                   ((10000 * inter) // least(sa.sz, sb.sz)) AS cont_bp
+            FROM inter
+            JOIN sizes sa ON sa.repo = inter.repo_a
+            JOIN sizes sb ON sb.repo = inter.repo_b
+            WHERE 10000 * inter >= 5000 * (sa.sz + sb.sz - inter)
+        """,
         # longest common token span per in-block doc pair: token matches on
         # each (i - j) diagonal form runs (gaps-and-islands); the longest
         # run IS the longest common token span — exact ground truth for the

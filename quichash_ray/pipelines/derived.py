@@ -315,3 +315,81 @@ db2 AS (
     WHERE doc_id % 17 <> 0
 )
 """
+
+
+def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → (repo, path, content): a deterministic forked-repo
+    scenario for :func:`quichash_ray.pipelines.repodedup.repo_neardup`.
+
+    Every doc lands in repo ``r{doc_id % 40:03d}``; repos whose id is
+    divisible by 4 additionally get a fork ``r..._fork`` holding the
+    subset of their files with ``doc_id % 3 != 0`` (~2/3, same content —
+    Jaccard(base, fork) ≈ 2/3, comfortably over the 0.5 gate, while
+    unrelated repo pairs share nothing: the documents table has no
+    duplicate texts). Mirrored literally by ``REPO_FORKED_SQL``.
+    """
+
+    def expand(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(
+            b["doc_id"].combine_chunks()
+            if isinstance(b["doc_id"], pa.ChunkedArray)
+            else b["doc_id"]
+        )
+        rid = ids % 40
+        repo = pc.binary_join_element_wise(
+            pa.scalar("r"),
+            pc.utf8_lpad(
+                pc.cast(pa.array(rid, pa.int64()), pa.string()), 3, "0"
+            ),
+            pa.scalar(""),
+        )
+        path = pc.binary_join_element_wise(
+            pa.scalar("f_"), pc.cast(b["doc_id"], pa.string()), pa.scalar("")
+        )
+        base = pa.table(
+            {"repo": repo, "path": path, "content": b[text_col]}
+        )
+        fork_mask = pa.array((rid % 4 == 0) & (ids % 3 != 0))
+        f = b.filter(fork_mask)
+        if f.num_rows == 0:
+            return base
+        frid = np.asarray(
+            f["doc_id"].combine_chunks()
+            if isinstance(f["doc_id"], pa.ChunkedArray)
+            else f["doc_id"]
+        ) % 40
+        frepo = pc.binary_join_element_wise(
+            pa.scalar("r"),
+            pc.utf8_lpad(
+                pc.cast(pa.array(frid, pa.int64()), pa.string()), 3, "0"
+            ),
+            pa.scalar("_fork"),
+            pa.scalar(""),
+        )
+        fpath = pc.binary_join_element_wise(
+            pa.scalar("f_"), pc.cast(f["doc_id"], pa.string()), pa.scalar("")
+        )
+        fork = pa.table(
+            {"repo": frepo, "path": fpath, "content": f[text_col]}
+        )
+        return pa.concat_tables([base, fork])
+
+    return ds.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+REPO_FORKED_SQL = """
+rp AS (
+    SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') AS repo,
+           'f_' || doc_id AS path, text AS content
+    FROM documents
+    UNION ALL
+    SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') || '_fork',
+           'f_' || doc_id, text
+    FROM documents
+    WHERE (doc_id % 40) % 4 = 0 AND doc_id % 3 <> 0
+)
+"""

@@ -577,3 +577,56 @@ def test_codec_image_real_decode(ray_session):
     arr = mm._decode_image(buf.getvalue(), 4, 4)
     assert arr.shape == (4, 4, 3)
     assert (arr[:, :, 0] == 255).all() and (arr[:, :, 1] == 0).all()
+
+
+def test_repo_neardup_forks_and_df_cap(ray_session):
+    """Fork pairs found with exact integer Jaccard; a boilerplate digest
+    shared by every repo is df-capped out (metered, not silently)."""
+    import ray.data
+
+    from quichash_ray.pipelines.repodedup import repo_neardup
+    from quichash_ray.state.metrics import read_metrics, reset_metrics
+
+    reset_metrics()
+    # 4 repos x 6 unique files each; repo b = fork of a sharing 4 of 6;
+    # every repo also carries the same LICENSE boilerplate
+    rows = []
+    for r, files in {
+        "a": [f"ta{i}" for i in range(6)],
+        "b": [f"ta{i}" for i in range(4)] + ["tb4", "tb5"],
+        "c": [f"tc{i}" for i in range(6)],
+        "d": [f"td{i}" for i in range(6)],
+    }.items():
+        rows += [{"repo": r, "content": t} for t in files]
+        rows.append({"repo": r, "content": "LICENSE-BOILERPLATE"})
+    ds = ray.data.from_items(rows)
+    out = repo_neardup(
+        ds, threshold_bp=4000, max_repos_per_digest=3
+    ).to_pandas()
+    # boilerplate (df=4 > cap 3) is excluded from inter AND sizes:
+    # jacc(a,b) = 4 / (6+6-4) = 0.5 exactly
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["repo_a"], row["repo_b"]) == ("a", "b")
+    assert row["inter"] == 4 and row["union_cnt"] == 8
+    assert row["jacc_bp"] == 5000
+    assert row["cont_bp"] == 10000 * 4 // 6
+    m = read_metrics()
+    assert m.get("repo_neardup_dropped_digests", 0) >= 1
+
+
+def test_repo_neardup_no_pairs_below_threshold(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.repodedup import repo_neardup
+
+    ds = ray.data.from_items(
+        [{"repo": "x", "content": "one"}, {"repo": "y", "content": "two"}]
+    )
+    out = repo_neardup(ds)
+    # Ray's to_pandas() drops columns on zero-row datasets; assert on the
+    # Dataset schema (kept stable by the typed empty union block)
+    assert sorted(out.schema().names) == [
+        "cont_bp", "inter", "jacc_bp", "repo_a", "repo_b", "union_cnt",
+    ]
+    assert len(out.to_pandas()) == 0
