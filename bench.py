@@ -75,6 +75,7 @@ def run_suite() -> dict:
         "fingerprints",
         "decontaminate",
         "clean_corpus",
+        "repo_neardup",
         "ngram_jaccard",
         "knn_topk",
         "embedding_neardup",
