@@ -726,10 +726,27 @@ def _q_repo_neardup(sf_dir: str):
     )
 
 
+def _q_lang_dup_stats(sf_dir: str):
+    """Per-language dedup report over the north-rule repo corpus shape:
+    the analyze semantics (reference analyze.rs:221-293) sliced by the
+    `lang` column — one banded digest exchange emitting per-lang
+    partials, tiny rollup."""
+    from quichash_ray.pipelines.dedup import digest_table, grouped_dup_stats
+    from quichash_ray.pipelines.derived import repo_forked
+
+    digests = digest_table(
+        repo_forked(_docs(sf_dir)),
+        content_col="content",
+        key_cols=("lang",),
+    )
+    return grouped_dup_stats(digests, group_col="lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
         "repo_neardup": _q_repo_neardup,
+        "lang_dup_stats": _q_lang_dup_stats,
         "corpus_recall_report": _q_corpus_recall_report,
         "corpus_substring_spans": _q_corpus_substring_spans,
         "substring_spans_blocks": _q_substring_spans_blocks,
@@ -807,6 +824,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.repo = inter.repo_a
             JOIN sizes sb ON sb.repo = inter.repo_b
             WHERE 10000 * inter >= 5000 * (sa.sz + sb.sz - inter)
+        """,
+        # analyze semantics sliced by lang over the full repo-corpus
+        # shape; dup groups counted within a lang
+        "lang_dup_stats": f"""
+            WITH {REPO_FORKED_SQL.strip().rstrip()},
+            per AS (
+                SELECT lang, sha256(content) AS dg, count(*) AS cnt,
+                       min(strlen(content)) AS sz
+                FROM rp GROUP BY 1, 2
+            )
+            SELECT lang,
+                   sum(cnt)::BIGINT AS total_files,
+                   sum(cnt * sz)::BIGINT AS total_bytes,
+                   count(*)::BIGINT AS unique_hashes,
+                   (count(*) FILTER (cnt > 1))::BIGINT AS dup_groups,
+                   (coalesce(sum(cnt) FILTER (cnt > 1), 0))::BIGINT
+                       AS dup_files,
+                   (coalesce(sum((cnt-1) * sz) FILTER (cnt > 1), 0))::BIGINT
+                       AS wasted_bytes
+            FROM per GROUP BY lang
         """,
         # longest common token span per in-block doc pair: token matches on
         # each (i - j) diagonal form runs (gaps-and-islands); the longest

@@ -76,6 +76,7 @@ def run_suite() -> dict:
         "decontaminate",
         "clean_corpus",
         "repo_neardup",
+        "lang_dup_stats",
         "ngram_jaccard",
         "knn_topk",
         "embedding_neardup",

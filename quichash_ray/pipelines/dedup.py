@@ -162,6 +162,83 @@ def dedup_keep_first(
     return _banded_digest_agg(digests, agg)
 
 
+def grouped_dup_stats(
+    digests: Dataset,
+    group_col: str = "lang",
+    size_col: str = "size",
+) -> Dataset:
+    """Per-``group_col`` dedup report over a digest table — the
+    ``analyze`` semantics (analyze.rs:221-293) broken out by a metadata
+    column (language, repo owner, license tier, ...), the per-slice
+    report a training-data curator reads before choosing what to drop.
+
+    → one row per group value: ``(group_col, total_files, total_bytes,
+    unique_hashes, dup_groups, dup_files, wasted_bytes)`` with the same
+    invariant ``unique_hashes = total_files - dup_files + dup_groups``
+    per row.
+
+    Dup groups are counted WITHIN a group value — the same digest
+    appearing under two languages is one unique hash in each (the
+    per-slice reading a curator wants; cross-slice overlap is
+    :func:`duplicate_groups`' job).
+
+    Scale shape: identical to :func:`analyze_stats` — one digest-prefix
+    banded exchange; each partition reduces to per-group PARTIAL stat
+    rows (exact, because a digest never spans partitions, so every
+    (group, digest) dup group lives entirely inside one partition); the
+    final rollup sums P × |group values| tiny partial rows, never
+    corpus-sized data.
+    """
+    import pandas as pd
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        per = (
+            g.groupby([group_col, "digest"], sort=False)
+            .agg(cnt=("digest", "size"), sz=(size_col, "min"))
+            .reset_index()
+        )
+        per["cnt"] = per["cnt"].astype("int64")
+        per["sz"] = per["sz"].astype("int64")
+        dup = per["cnt"] > 1
+        out = pd.DataFrame(
+            {
+                group_col: per[group_col],
+                "total_files": per["cnt"],
+                "total_bytes": per["cnt"] * per["sz"],
+                "unique_hashes": 1,
+                "dup_groups": dup.astype("int64"),
+                "dup_files": per["cnt"].where(dup, 0),
+                "wasted_bytes": ((per["cnt"] - 1) * per["sz"]).where(dup, 0),
+            }
+        )
+        return (
+            out.groupby(group_col, sort=False, dropna=False)
+            .sum()
+            .reset_index()
+        )
+
+    partials = _banded_digest_agg(digests, agg)
+
+    stat_cols = [
+        "total_files",
+        "total_bytes",
+        "unique_hashes",
+        "dup_groups",
+        "dup_files",
+        "wasted_bytes",
+    ]
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(group_col, sort=False, dropna=False)[stat_cols].sum()
+        return out.astype("int64").reset_index()
+
+    # the partials table is tiny (P partitions × group cardinality);
+    # Ray's native groupby is fine here — no banded exchange needed
+    return partials.groupby(group_col).map_groups(
+        rollup, batch_format="pandas"
+    )
+
+
 def per_algorithm_counts(db: Dataset) -> Dataset:
     """Per-algorithm and per-mode counts over a (legacy) digest DB —
     analyze.rs:239-256 semantics. → (algorithm, fast_mode, cnt)."""

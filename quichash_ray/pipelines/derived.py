@@ -326,8 +326,22 @@ def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
     subset of their files with ``doc_id % 3 != 0`` (~2/3, same content —
     Jaccard(base, fork) ≈ 2/3, comfortably over the 0.5 gate, while
     unrelated repo pairs share nothing: the documents table has no
-    duplicate texts). Mirrored literally by ``REPO_FORKED_SQL``.
+    duplicate texts). The full north-rule input shape
+    ``(repo, path, commit, lang, content)``: ``lang`` cycles py/rs/go/md
+    by doc_id, ``commit`` is a 40-char snapshot id per repo (forks get a
+    distinct one). Mirrored literally by ``REPO_FORKED_SQL``.
     """
+
+    LANGS = pa.array(["py", "rs", "go", "md"], pa.string())
+
+    def _commit(rid_arr, offset: int):
+        return pc.utf8_lpad(
+            pc.cast(
+                pa.array(rid_arr + offset, pa.int64()), pa.string()
+            ),
+            40,
+            "0",
+        )
 
     def expand(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -349,17 +363,24 @@ def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
             pa.scalar("f_"), pc.cast(b["doc_id"], pa.string()), pa.scalar("")
         )
         base = pa.table(
-            {"repo": repo, "path": path, "content": b[text_col]}
+            {
+                "repo": repo,
+                "path": path,
+                "commit": _commit(rid, 0),
+                "lang": LANGS.take(pa.array(ids % 4, pa.int64())),
+                "content": b[text_col],
+            }
         )
         fork_mask = pa.array((rid % 4 == 0) & (ids % 3 != 0))
         f = b.filter(fork_mask)
         if f.num_rows == 0:
             return base
-        frid = np.asarray(
+        fids = np.asarray(
             f["doc_id"].combine_chunks()
             if isinstance(f["doc_id"], pa.ChunkedArray)
             else f["doc_id"]
-        ) % 40
+        )
+        frid = fids % 40
         frepo = pc.binary_join_element_wise(
             pa.scalar("r"),
             pc.utf8_lpad(
@@ -372,7 +393,13 @@ def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
             pa.scalar("f_"), pc.cast(f["doc_id"], pa.string()), pa.scalar("")
         )
         fork = pa.table(
-            {"repo": frepo, "path": fpath, "content": f[text_col]}
+            {
+                "repo": frepo,
+                "path": fpath,
+                "commit": _commit(frid, 41),
+                "lang": LANGS.take(pa.array(fids % 4, pa.int64())),
+                "content": f[text_col],
+            }
         )
         return pa.concat_tables([base, fork])
 
@@ -384,11 +411,17 @@ def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
 REPO_FORKED_SQL = """
 rp AS (
     SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') AS repo,
-           'f_' || doc_id AS path, text AS content
+           'f_' || doc_id AS path,
+           lpad(CAST(doc_id % 40 AS VARCHAR), 40, '0') AS commit,
+           (['py', 'rs', 'go', 'md'])[(doc_id % 4) + 1] AS lang,
+           text AS content
     FROM documents
     UNION ALL
     SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') || '_fork',
-           'f_' || doc_id, text
+           'f_' || doc_id,
+           lpad(CAST((doc_id % 40) + 41 AS VARCHAR), 40, '0'),
+           (['py', 'rs', 'go', 'md'])[(doc_id % 4) + 1],
+           text
     FROM documents
     WHERE (doc_id % 40) % 4 = 0 AND doc_id % 3 <> 0
 )

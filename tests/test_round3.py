@@ -630,3 +630,41 @@ def test_repo_neardup_no_pairs_below_threshold(ray_session):
         "cont_bp", "inter", "jacc_bp", "repo_a", "repo_b", "union_cnt",
     ]
     assert len(out.to_pandas()) == 0
+
+
+def test_grouped_dup_stats_per_lang(ray_session):
+    """Hand-computed per-lang analyze rows; same digest under two langs
+    counts once per lang; per-row invariant holds."""
+    import ray.data
+
+    from quichash_ray.pipelines.dedup import digest_table, grouped_dup_stats
+
+    rows = (
+        # py: "aa" x3 (dup group), "b" x1 -> files 4, uniq 2
+        [{"lang": "py", "path": f"p{i}", "content": "aa"} for i in range(3)]
+        + [{"lang": "py", "path": "p3", "content": "b"}]
+        # rs: "aa" x2 (same digest as py's, counted independently), "c" x1
+        + [{"lang": "rs", "path": f"r{i}", "content": "aa"} for i in range(2)]
+        + [{"lang": "rs", "path": "r2", "content": "c"}]
+    )
+    digests = digest_table(
+        ray.data.from_items(rows), key_cols=("lang", "path")
+    )
+    out = (
+        grouped_dup_stats(digests, group_col="lang")
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert list(out.index) == ["py", "rs"]
+    py, rs = out.loc["py"], out.loc["rs"]
+    assert (py["total_files"], py["unique_hashes"]) == (4, 2)
+    assert (py["dup_groups"], py["dup_files"], py["wasted_bytes"]) == (1, 3, 4)
+    assert py["total_bytes"] == 3 * 2 + 1
+    assert (rs["total_files"], rs["unique_hashes"]) == (3, 2)
+    assert (rs["dup_groups"], rs["dup_files"], rs["wasted_bytes"]) == (1, 2, 2)
+    # analyze invariant per slice
+    for _, r in out.iterrows():
+        assert r["unique_hashes"] == (
+            r["total_files"] - r["dup_files"] + r["dup_groups"]
+        )
