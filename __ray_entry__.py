@@ -742,11 +742,26 @@ def _q_lang_dup_stats(sf_dir: str):
     return grouped_dup_stats(digests, group_col="lang")
 
 
+def _q_latest_snapshot(sf_dir: str):
+    """Incremental-corpus compaction: keep the max-commit row per
+    (repo, path) — the latest-wins primitive before any dedup pass over
+    a crawl-and-recrawl / commit-history corpus."""
+    from quichash_ray.pipelines.derived import repo_history
+    from quichash_ray.pipelines.repodedup import latest_snapshot
+
+    return latest_snapshot(
+        repo_history(_docs(sf_dir)),
+        key_cols=("repo", "path"),
+        version_col="commit",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
         "repo_neardup": _q_repo_neardup,
         "lang_dup_stats": _q_lang_dup_stats,
+        "latest_snapshot": _q_latest_snapshot,
         "corpus_recall_report": _q_corpus_recall_report,
         "corpus_substring_spans": _q_corpus_substring_spans,
         "substring_spans_blocks": _q_substring_spans_blocks,
@@ -790,6 +805,7 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
     DUP_PLANTED_SQL,
     MIXED_VERIFY_SCENARIO_SQL,
     REPO_FORKED_SQL,
+    REPO_HISTORY_SQL,
     VERIFY_SCENARIO_SQL,
 )
 
@@ -844,6 +860,18 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(sum((cnt-1) * sz) FILTER (cnt > 1), 0))::BIGINT
                        AS wasted_bytes
             FROM per GROUP BY lang
+        """,
+        # latest-wins compaction: rows carrying the max commit per
+        # (repo, path)
+        "latest_snapshot": f"""
+            WITH {REPO_HISTORY_SQL.strip().rstrip()}
+            SELECT rh.repo, rh.path, rh.commit, rh.content
+            FROM rh
+            JOIN (
+                SELECT repo, path, max(commit) AS mc
+                FROM rh GROUP BY 1, 2
+            ) w ON rh.repo = w.repo AND rh.path = w.path
+               AND rh.commit = w.mc
         """,
         # longest common token span per in-block doc pair: token matches on
         # each (i - j) diagonal form runs (gaps-and-islands); the longest

@@ -77,6 +77,7 @@ def run_suite() -> dict:
         "clean_corpus",
         "repo_neardup",
         "lang_dup_stats",
+        "latest_snapshot",
         "ngram_jaccard",
         "knn_topk",
         "embedding_neardup",

@@ -408,6 +408,124 @@ def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
     )
 
 
+def repo_history(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → (repo, path, commit, content): an incremental-corpus
+    scenario for :func:`quichash_ray.pipelines.repodedup.latest_snapshot`.
+
+    Every file exists at commit ``0...1``; files with ``doc_id % 5 == 0``
+    get an updated version at commit ``0...2`` (content + ' [v2]'); files
+    with ``doc_id % 7 == 0`` get one at commit ``0...3``. The latest
+    snapshot is v3 where %7, else v2 where %5, else v1. Mirrored
+    literally by ``REPO_HISTORY_SQL``.
+    """
+
+    def expand(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(
+            b["doc_id"].combine_chunks()
+            if isinstance(b["doc_id"], pa.ChunkedArray)
+            else b["doc_id"]
+        )
+        repo = pc.binary_join_element_wise(
+            pa.scalar("r"),
+            pc.utf8_lpad(
+                pc.cast(pa.array(ids % 40, pa.int64()), pa.string()), 3, "0"
+            ),
+            pa.scalar(""),
+        )
+        path = pc.binary_join_element_wise(
+            pa.scalar("f_"), pc.cast(b["doc_id"], pa.string()), pa.scalar("")
+        )
+
+        def version(tbl_mask, tag: str, cnum: str):
+            f = b.filter(tbl_mask)
+            if f.num_rows == 0:
+                return None
+            fids = np.asarray(
+                f["doc_id"].combine_chunks()
+                if isinstance(f["doc_id"], pa.ChunkedArray)
+                else f["doc_id"]
+            )
+            frepo = pc.binary_join_element_wise(
+                pa.scalar("r"),
+                pc.utf8_lpad(
+                    pc.cast(pa.array(fids % 40, pa.int64()), pa.string()),
+                    3,
+                    "0",
+                ),
+                pa.scalar(""),
+            )
+            fpath = pc.binary_join_element_wise(
+                pa.scalar("f_"),
+                pc.cast(f["doc_id"], pa.string()),
+                pa.scalar(""),
+            )
+            content = (
+                pc.binary_join_element_wise(
+                    f[text_col].combine_chunks()
+                    if isinstance(f[text_col], pa.ChunkedArray)
+                    else f[text_col],
+                    pa.scalar(tag),
+                    pa.scalar(""),
+                )
+                if tag
+                else f[text_col]
+            )
+            return pa.table(
+                {
+                    "repo": frepo,
+                    "path": fpath,
+                    "commit": pa.array(
+                        [cnum.rjust(40, "0")] * f.num_rows, pa.string()
+                    ),
+                    "content": content,
+                }
+            )
+
+        parts = [
+            pa.table(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": pa.array(
+                        ["1".rjust(40, "0")] * b.num_rows, pa.string()
+                    ),
+                    "content": b[text_col],
+                }
+            )
+        ]
+        v2 = version(pa.array(ids % 5 == 0), " [v2]", "2")
+        if v2 is not None:
+            parts.append(v2)
+        v3 = version(pa.array(ids % 7 == 0), " [v3]", "3")
+        if v3 is not None:
+            parts.append(v3)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+REPO_HISTORY_SQL = """
+rh AS (
+    SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') AS repo,
+           'f_' || doc_id AS path,
+           lpad('1', 40, '0') AS commit, text AS content
+    FROM documents
+    UNION ALL
+    SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0'),
+           'f_' || doc_id, lpad('2', 40, '0'), text || ' [v2]'
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0'),
+           'f_' || doc_id, lpad('3', 40, '0'), text || ' [v3]'
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
 REPO_FORKED_SQL = """
 rp AS (
     SELECT 'r' || lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0') AS repo,

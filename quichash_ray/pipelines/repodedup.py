@@ -121,6 +121,120 @@ def _sum_by_key(
     )
 
 
+def latest_snapshot(
+    ds: Dataset,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    version_col: str = "commit",
+    broadcast_limit: int = 20_000_000,
+) -> Dataset:
+    """Compact an incremental corpus to its latest snapshot: keep the
+    row(s) carrying the maximum ``version_col`` per ``key_cols`` — the
+    Iceberg/Delta-style latest-wins primitive a crawl-and-recrawl or
+    commit-history corpus needs before dedup (versions of a file are
+    near-identical by construction and would otherwise flood every fuzzy
+    stage with self-pairs).
+
+    Two tiers (the verify_mixed / decontaminate discipline):
+
+    - winners ≤ ``broadcast_limit``: per-batch partial max → small exact
+      reduce → winners broadcast once as sorted key/version arrays; the
+      corpus streams through a filter ``version == max(version(key))`` —
+      content never enters a shuffle, exact string comparison (no hash
+      identities).
+    - above the limit: a key-partitioned ``groupby(key).map_groups``
+      keeping each group's max-version rows — content rides one
+      partitioned exchange, unavoidable when the winner set itself
+      exceeds worker heaps (a winners inner join would shuffle the same
+      content PLUS the winner table).
+
+    Ties (several rows at the max version for a key) all survive,
+    mirroring SQL ``version = max(version) OVER key`` semantics.
+    """
+    import ray
+
+    sep = "\x00"  # cannot occur in repo/path strings
+    cols = [*key_cols, version_col]
+
+    def partial_max(b: pa.Table) -> pa.Table:
+        df = b.select(cols).to_pandas()
+        out = df.groupby(list(key_cols), sort=False, dropna=False)[
+            version_col
+        ].max()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    def final_max(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(list(key_cols), sort=False, dropna=False)[version_col]
+            .max()
+            .reset_index()
+        )
+
+    # thin metadata reduce: (key_cols..., max version) — bounded by
+    # distinct keys, never corpus rows; also decides the tier
+    winners = (
+        ds.select_columns(cols)
+        .map_batches(partial_max, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(list(key_cols))
+        .map_groups(final_max, batch_format="pandas")
+        .materialize()
+    )
+
+    if winners.count() <= broadcast_limit:
+        keys_l: list[str] = []
+        vers_l: list[str] = []
+        for b in winners.iter_batches(batch_format="pyarrow", batch_size=None):
+            if b.num_rows == 0:
+                continue
+            joined = b[key_cols[0]]
+            for k in key_cols[1:]:
+                joined = pa.compute.binary_join_element_wise(
+                    joined, b[k], pa.scalar(sep)
+                )
+            keys_l.extend(joined.to_pylist())
+            vers_l.extend(b[version_col].to_pylist())
+        karr = np.asarray(keys_l, dtype=object)
+        varr = np.asarray(vers_l, dtype=object)
+        order = np.argsort(karr)
+        ref = ray.put((karr[order], varr[order]))
+
+        def keep_latest(b: pa.Table) -> pa.Table:
+            km, vm = ray.get(ref)
+            if b.num_rows == 0 or len(km) == 0:
+                return b.slice(0, 0)
+            joined = b[key_cols[0]]
+            for k in key_cols[1:]:
+                joined = pa.compute.binary_join_element_wise(
+                    joined.combine_chunks()
+                    if isinstance(joined, pa.ChunkedArray)
+                    else joined,
+                    b[k].combine_chunks()
+                    if isinstance(b[k], pa.ChunkedArray)
+                    else b[k],
+                    pa.scalar(sep),
+                )
+            cur = np.asarray(joined.to_pylist(), dtype=object)
+            pos = np.clip(np.searchsorted(km, cur), 0, len(km) - 1)
+            hit = km[pos] == cur
+            keep = hit & (
+                np.asarray(b[version_col].to_pylist(), dtype=object)
+                == vm[pos]
+            )
+            return b.filter(pa.array(keep))
+
+        return ds.map_batches(
+            keep_latest, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # giant-key-set tier: partition full rows by key and keep each
+    # group's max-version rows — one content exchange, exact
+    def keep_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g[g[version_col] == g[version_col].max()]
+
+    return ds.groupby(list(key_cols)).map_groups(
+        keep_max, batch_format="pandas"
+    )
+
+
 def repo_neardup(
     ds: Dataset,
     threshold_bp: int = 5000,

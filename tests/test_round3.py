@@ -668,3 +668,37 @@ def test_grouped_dup_stats_per_lang(ray_session):
         assert r["unique_hashes"] == (
             r["total_files"] - r["dup_files"] + r["dup_groups"]
         )
+
+
+def test_latest_snapshot_tiers_equivalent_and_ties(ray_session):
+    """Broadcast and join tiers produce identical snapshots; ties at the
+    max version all survive."""
+    import ray.data
+
+    from quichash_ray.pipelines.repodedup import latest_snapshot
+
+    rows = [
+        {"repo": "a", "path": "x", "commit": "1", "content": "old"},
+        {"repo": "a", "path": "x", "commit": "2", "content": "new"},
+        {"repo": "a", "path": "y", "commit": "1", "content": "only"},
+        # tie: two rows at the max version
+        {"repo": "b", "path": "z", "commit": "3", "content": "t1"},
+        {"repo": "b", "path": "z", "commit": "3", "content": "t2"},
+        {"repo": "b", "path": "z", "commit": "2", "content": "stale"},
+    ]
+    ds = ray.data.from_items(rows)
+
+    def snap(limit):
+        return (
+            latest_snapshot(ds, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values(["repo", "path", "content"])
+            .reset_index(drop=True)[["repo", "path", "commit", "content"]]
+        )
+
+    bcast = snap(10**6)   # broadcast tier
+    joined = snap(0)      # force the join tier
+    import pandas.testing as pt
+
+    pt.assert_frame_equal(bcast, joined)
+    assert bcast["content"].tolist() == ["new", "only", "t1", "t2"]
