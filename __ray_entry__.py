@@ -756,6 +756,141 @@ def _q_latest_snapshot(sf_dir: str):
     )
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII detection + redaction (emails, IPv4, SSN-shaped ids) over the
+    deterministic PII-planted corpus — counts on the original text,
+    sequential RE2 redaction; DuckDB oracle runs the same RE2 patterns."""
+    from quichash_ray.pipelines.derived import pii_planted
+    from quichash_ray.pipelines.pii import pii_scrub
+
+    return pii_scrub(pii_planted(_docs(sf_dir)))
+
+
+def _q_line_dup_stats(sf_dir: str):
+    """Within-document duplicate-line stats over the line-planted corpus
+    (docs with boilerplate/newsletter/footer lines planted)."""
+    from quichash_ray.pipelines.derived import line_planted
+    from quichash_ray.pipelines.linededup import line_stats
+
+    return line_stats(line_planted(_docs(sf_dir)))
+
+
+def _q_boilerplate_clean(sf_dir: str):
+    """Cross-corpus boilerplate-line removal (C4/CCNet-style): drop lines
+    whose doc-frequency ≥ 5% of the corpus. Combiner-pattern df count →
+    bounded broadcast of the common-line set → vectorized per-doc filter."""
+    from quichash_ray.pipelines.derived import line_planted
+    from quichash_ray.pipelines.linededup import boilerplate_removal
+
+    docs = _docs(sf_dir)
+    return boilerplate_removal(
+        line_planted(docs), n_docs=docs.count(), pct=5
+    )
+
+
+def _q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: top-500 whitespace tokens by frequency with a
+    deterministic (cnt DESC, token ASC) tie-break — partial per-batch
+    counts, vocab-sized shuffle, global sort+limit."""
+    from quichash_ray.pipelines.textstats import vocab_topk
+
+    return vocab_topk(_docs(sf_dir), k=500)
+
+
+def _q_events_asof_join(sf_dir: str):
+    """As-of join: every click event attached to the latest purchase by the
+    same user at or before the click — one key-hash exchange, pandas
+    merge_asof per partition (stages/asofjoin.py). Money as integer cents;
+    lag as int64 microseconds; right-side ties broken by max event_id (the
+    oracle pre-dedups identically)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.stages.asofjoin import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    # filtering INSIDE the kernel (not ds.filter) so no empty pre-map
+    # blocks reach the tag stage with a stale schema
+    def clicks(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.table(
+            {
+                "event_id": sel["event_id"],
+                "ts": sel["ts"],
+                "user_id": sel["user_id"],
+            }
+        )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = b.filter(pc.equal(b["event_type"], "purchase"))
+        cents = pc.cast(
+            pc.round(pc.multiply(sel["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "purchase_event_id": sel["event_id"],
+                "ts": sel["ts"],
+                "user_id": sel["user_id"],
+                "purchase_ts": sel["ts"],
+                "purchase_cents": cents,
+            }
+        )
+
+    left = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        purchases, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = asof_join(
+        left,
+        right,
+        by="user_id",
+        ts_col="ts",
+        left_cols=["event_id"],
+        right_cols=["purchase_event_id", "purchase_ts", "purchase_cents"],
+        tiebreak_col="purchase_event_id",
+    )
+
+    def add_lag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "purchase_event_id": pa.array([], pa.int64()),
+                    "purchase_cents": pa.array([], pa.int64()),
+                    "lag_us": pa.array([], pa.int64()),
+                }
+            )
+        ts_us = np.asarray(b["ts"].combine_chunks().cast(pa.int64()))
+        p_ts = b["purchase_ts"].combine_chunks().cast(pa.int64())
+        lag = pa.array(ts_us - np.asarray(p_ts.fill_null(0)), pa.int64())
+        lag = pa.compute.if_else(p_ts.is_valid(), lag, pa.scalar(None, pa.int64()))
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "purchase_event_id": b["purchase_event_id"],
+                "purchase_cents": b["purchase_cents"],
+                "lag_us": lag,
+            }
+        )
+
+    return joined.map_batches(
+        add_lag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -793,6 +928,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "knn_topk": _q_knn_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "pii_scrub": _q_pii_scrub,
+        "line_dup_stats": _q_line_dup_stats,
+        "boilerplate_clean": _q_boilerplate_clean,
+        "vocab_topk": _q_vocab_topk,
+        "events_asof_join": _q_events_asof_join,
     }
 
 
@@ -803,7 +943,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 from quichash_ray.pipelines.derived import (  # noqa: E402
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
+    LINE_PLANTED_SQL,
     MIXED_VERIFY_SCENARIO_SQL,
+    PII_PLANTED_SQL,
     REPO_FORKED_SQL,
     REPO_HISTORY_SQL,
     VERIFY_SCENARIO_SQL,
@@ -1285,5 +1427,110 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # PII counts on the original text; redaction applied sequentially
+        # email -> ip -> ssn — DuckDB regexp_* is RE2, same engine as
+        # pyarrow.compute, so the comparison is hash-exact by construction
+        "pii_scrub": r"""
+            WITH """ + PII_PLANTED_SQL.strip() + r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                   ))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{2}-\d{4}\b'
+                   ))::BIGINT AS n_ssn,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'
+                   ) AS clean_text
+            FROM pp
+        """,
+        # within-doc line stats over the line-planted corpus
+        "line_dup_stats": """
+            WITH """ + LINE_PLANTED_SQL.strip() + """,
+            split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines FROM lp
+            )
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   len(list_distinct(lines))::BIGINT AS n_distinct_lines,
+                   ((10000 * (len(lines) - len(list_distinct(lines))))
+                       // len(lines))::BIGINT AS dup_line_bp
+            FROM split
+        """,
+        # cross-corpus boilerplate removal: df = distinct docs per line,
+        # common iff df*100 >= 5 * n_docs; survivors rejoined in order
+        "boilerplate_clean": """
+            WITH """ + LINE_PLANTED_SQL.strip() + """,
+            ln AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10))))) AS ord
+                FROM lp
+            ),
+            df AS (
+                SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1
+            ),
+            common AS (
+                SELECT line FROM df
+                WHERE df * 100 >= 5 * (SELECT count(*) FROM lp)
+            )
+            SELECT l.doc_id,
+                   count(*)::BIGINT AS n_lines,
+                   (count(*) FILTER (c.line IS NOT NULL))::BIGINT
+                       AS n_removed,
+                   coalesce(
+                     string_agg(l.line, chr(10) ORDER BY l.ord)
+                       FILTER (c.line IS NULL),
+                     ''
+                   ) AS clean_text
+            FROM ln l LEFT JOIN common c ON c.line = l.line
+            GROUP BY l.doc_id
+        """,
+        # top-500 tokens, deterministic (cnt DESC, token ASC) tie-break
+        "vocab_topk": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(text, '[ \t\n\f\r]+'),
+                    t -> t <> ''
+                )) AS token
+                FROM documents
+            )
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM toks GROUP BY token
+            ORDER BY cnt DESC, token
+            LIMIT 500
+        """,
+        # as-of join: clicks to the latest same-user purchase at/before the
+        # click; right side pre-deduped on (user, ts) by max event_id —
+        # identical to the engine's tie-break
+        "events_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, ts, user_id FROM events
+                WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT event_id AS purchase_event_id, ts, user_id,
+                       CAST(round(value * 100) AS BIGINT) AS purchase_cents
+                FROM events WHERE event_type = 'purchase'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) = 1
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   p.purchase_event_id, p.purchase_cents,
+                   (epoch_us(c.ts) - epoch_us(p.ts))::BIGINT AS lag_us
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
     }

@@ -74,6 +74,11 @@ def run_suite() -> dict:
         "token_counts",
         "fingerprints",
         "decontaminate",
+        "pii_scrub",
+        "line_dup_stats",
+        "boilerplate_clean",
+        "vocab_topk",
+        "events_asof_join",
         "clean_corpus",
         "repo_neardup",
         "lang_dup_stats",

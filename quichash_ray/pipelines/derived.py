@@ -544,3 +544,105 @@ rp AS (
     WHERE (doc_id % 40) % 4 = 0 AND doc_id % 3 <> 0
 )
 """
+
+
+def pii_planted(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → PP: deterministic PII planted into a third of the docs
+    (emails on doc_id%3==0, IPv4 on %5==1, SSN-shaped ids on %7==2) so the
+    pii_scrub operator has known redaction targets under the DuckDB oracle
+    (``PII_PLANTED_SQL`` mirrors every rule literally)."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b[text_col].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if t is None:
+                out.append(None)
+                continue
+            if i % 3 == 0:
+                t += f" contact user{i}@example.com now"
+            if i % 5 == 1:
+                t += f" from host 10.{i % 200}.3.{i % 250}"
+            if i % 7 == 2:
+                t += f" id {i % 900:03d}-42-{i % 9000:04d}"
+            out.append(t)
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PII_PLANTED_SQL = """
+pp AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@example.com now'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 1
+                THEN ' from host 10.' || (doc_id % 200) || '.3.'
+                     || (doc_id % 250)
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 2
+                THEN ' id ' || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+                     || '-42-' || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')
+                ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+
+_BOILERPLATE = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"
+_NEWSLETTER = "subscribe to our newsletter for updates"
+
+
+def line_planted(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → LP: multi-line docs with planted boilerplate (the test
+    documents are single-line). Per doc: the original text, a boilerplate
+    line in EVERY doc (df = corpus), a newsletter line in a third of docs,
+    the boilerplate REPEATED within-doc on doc_id%4==1 (within-doc dup
+    signal), and a unique footer line (df = 1). ``LINE_PLANTED_SQL`` is the
+    literal mirror."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b[text_col].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if t is None:
+                out.append(None)
+                continue
+            lines = [t, _BOILERPLATE]
+            if i % 3 == 0:
+                lines.append(_NEWSLETTER)
+            if i % 4 == 1:
+                lines.append(_BOILERPLATE)
+            lines.append(f"doc footer {i}")
+            out.append("\n".join(lines))
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+LINE_PLANTED_SQL = """
+lp AS (
+    SELECT doc_id,
+           text
+           || chr(10) || 'COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED'
+           || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'subscribe to our newsletter for updates'
+                ELSE '' END
+           || CASE WHEN doc_id % 4 = 1
+                THEN chr(10)
+                     || 'COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED'
+                ELSE '' END
+           || chr(10) || 'doc footer ' || doc_id
+           AS text
+    FROM documents
+)
+"""

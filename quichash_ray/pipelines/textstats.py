@@ -116,6 +116,67 @@ _STOPWORDS = (
 )
 
 
+def vocab_topk(
+    ds: Dataset, k: int = 500, text_col: str = "text"
+) -> Dataset:
+    """Corpus vocabulary: top-k most frequent whitespace tokens with a
+    deterministic (count DESC, token ASC) tie-break — the vocab-building /
+    frequency-table primitive (BPE training input, stopword discovery).
+
+    Shape: per-batch partial counts (the combiner pattern — the shuffle
+    carries (token, partial_count) rows, vocab-sized, never token
+    instances) → groupby-sum → global sort + limit over the vocab-sized
+    aggregate. Tokenizer is RE2 ``[ \\t\\n\\f\\r]+`` splitting, identical
+    to the DuckDB oracle's ``string_split_regex``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        lists = pc.split_pattern_regex(text, pattern=r"[ \t\n\f\r]+")
+        lists = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray
+        ) else lists
+        vals = lists.flatten()
+        vals = vals.filter(pc.not_equal(vals, ""))
+        if len(vals) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vc = pd.Series(vals.to_pandas().values).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(), pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("token").sum("cnt")
+
+    def rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(cnt)" not in b.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"token": b["token"], "cnt": pc.cast(b["sum(cnt)"], pa.int64())}
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def gopher_quality(
     ds: Dataset,
     text_col: str = "text",
