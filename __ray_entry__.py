@@ -891,6 +891,22 @@ def _q_events_asof_join(sf_dir: str):
     )
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 20% Bernoulli sample keyed on md5(doc_id) — resumable
+    and auditable (a re-run keeps the same rows); zero shuffles."""
+    from quichash_ray.pipelines.sampling import hash_sample
+
+    return hash_sample(_docs(sf_dir), rate_bp=2000)
+
+
+def _q_cap_per_source(sf_dir: str):
+    """MassiveText-style per-source capping: keep ≤10 docs per source,
+    chosen by (md5(doc_id), doc_id) order — only keys ride the exchange."""
+    from quichash_ray.pipelines.sampling import cap_per_group
+
+    return cap_per_group(_docs(sf_dir), group_col="source", k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -933,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_clean": _q_boilerplate_clean,
         "vocab_topk": _q_vocab_topk,
         "events_asof_join": _q_events_asof_join,
+        "hash_sample": _q_hash_sample,
+        "cap_per_source": _q_cap_per_source,
     }
 
 
@@ -1532,5 +1550,21 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        # deterministic Bernoulli sample: md5-hex prefix order == numeric
+        # order, threshold = floor(0.2 * 2^32) = 0x33333333
+        "hash_sample": """
+            SELECT * FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+        """,
+        # per-source cap: k=10 by (md5(id), id) order
+        "cap_per_source": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents
+            QUALIFY rnk <= 10
         """,
     }

@@ -79,6 +79,8 @@ def run_suite() -> dict:
         "boilerplate_clean",
         "vocab_topk",
         "events_asof_join",
+        "hash_sample",
+        "cap_per_source",
         "clean_corpus",
         "repo_neardup",
         "lang_dup_stats",

@@ -226,6 +226,62 @@ def test_common_lines_bound(ray_session):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_unbiased(ray_session):
+    import hashlib
+
+    from quichash_ray.pipelines.sampling import hash_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(1000)), pa.int64()),
+            "payload": pa.array([f"p{i}" for i in range(1000)], pa.string()),
+        }
+    )
+    a = hash_sample(_ds(t, 4), rate_bp=2000).to_pandas()
+    b = hash_sample(_ds(t, 7), rate_bp=2000).to_pandas()  # other partitioning
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partition-invariant
+    # exact membership rule
+    thr = format((2000 * (1 << 32)) // 10000, "08x")
+    want = [
+        i
+        for i in range(1000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < thr
+    ]
+    assert sorted(a["doc_id"]) == want
+    assert 100 < len(want) < 300  # ~20%
+
+
+def test_cap_per_group(ray_session):
+    import hashlib
+
+    from quichash_ray.pipelines.sampling import cap_per_group
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(60)), pa.int64()),
+            "source": pa.array(
+                [f"s{i % 3}" for i in range(60)], pa.string()
+            ),
+        }
+    )
+    out = cap_per_group(_ds(t, 3), "source", k=4).to_pandas()
+    assert len(out) == 12
+    assert (out.groupby("source").size() == 4).all()
+    assert set(out["rnk"]) == {1, 2, 3, 4}
+    # matches the reference rule: first 4 per group by (md5(id), id)
+    for s in ("s0", "s1", "s2"):
+        ids = [i for i in range(60) if f"s{i % 3}" == s]
+        want = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:4]
+        assert sorted(out[out.source == s]["doc_id"]) == sorted(want)
+
+
 def test_vocab_topk_order_and_ties(ray_session):
     from quichash_ray.pipelines.textstats import vocab_topk
 
