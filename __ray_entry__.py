@@ -891,6 +891,16 @@ def _q_events_asof_join(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style embedding dedup: IVF-bucketed cosine near-dup pairs →
+    connected components → min-id representative per component, keep flag
+    per vector. Rows-only (iterative CC); gate in tests/test_round3b.py
+    against a brute-force exact reference."""
+    from quichash_ray.pipelines.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir), threshold=0.4, nlist=16, nprobe=4)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 20% Bernoulli sample keyed on md5(doc_id) — resumable
     and auditable (a re-run keeps the same rows); zero shuffles."""
@@ -951,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_events_asof_join,
         "hash_sample": _q_hash_sample,
         "cap_per_source": _q_cap_per_source,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 

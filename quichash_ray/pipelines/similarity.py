@@ -776,3 +776,89 @@ def embedding_recall_report(
             "recall_bp": pa.array([recall_bp], pa.int64()),
         }
     )
+
+
+def semantic_dedup(
+    ds: Dataset,
+    threshold: float = 0.5,
+    nlist: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **ivf_kwargs,
+) -> Dataset:
+    """SemDeDup-style embedding dedup: → (vec_id, rep_id, keep) for EVERY
+    input vector.
+
+    Pipeline: IVF-bucketed exact-cosine near-dup pairs (coarse k-means
+    cells, nprobe multi-assignment so boundary pairs still meet;
+    candidate-bounded verification) → connected components over the pair
+    graph → the min-id member of each component becomes the
+    representative; every other member is marked ``keep = 0``. Vectors
+    with no near-dup are their own representative.
+
+    Scale shape: pair generation is the audited ivf_bucketed_neardup path
+    (id-only shuffles, cap-metered cells); components via the auto
+    driver/hash-min union-find; the node→rep attachment is an
+    attach_lookup (broadcast under the limit, hash join above) — nothing
+    driver-resident grows with the corpus except the (near-dup nodes)
+    label table, which the join tier handles at scale.
+
+    Non-SQL-expressible (iterative CC) → rows-only driver check; the
+    correctness gate lives in tests/test_round3b.py against a brute-force
+    exact reference.
+    """
+    from quichash_ray.stages.lookup import attach_lookup
+    from quichash_ray.stages.unionfind import connected_components
+
+    pairs = ivf_bucketed_neardup(
+        ds,
+        threshold,
+        nlist=nlist,
+        nprobe=nprobe,
+        id_col=id_col,
+        emb_col=emb_col,
+        **ivf_kwargs,
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table({"id_a": b[f"{id_col}_a"], "id_b": b[f"{id_col}_b"]})
+
+    comps = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()  # (node, cluster_id), near-dup nodes only
+
+    reps = comps.groupby("cluster_id").min("node")
+    labeled = attach_lookup(
+        comps, reps, key_col="cluster_id", value_col="min(node)",
+        out_col="rep_id",
+    )
+    out = attach_lookup(
+        ds.select_columns([id_col]),
+        labeled,
+        key_col=id_col,
+        key_col_in_mapping="node",
+        value_col="rep_id",
+        default=-1,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        rep = np.asarray(b["rep_id"], dtype=np.int64)
+        rep = np.where(rep < 0, ids, rep)  # singletons: own representative
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "rep_id": pa.array(rep, pa.int64()),
+                "keep": pa.array((rep == ids).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -222,6 +222,49 @@ def test_common_lines_bound(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_matches_exact_reference(ray_session, sf0001_dir):
+    """keep/rep decisions vs a brute-force exact pipeline (exact cosine
+    pairs -> exact union-find -> min-id rep). At sf0.001 the IVF
+    multi-probe config recovers the exact pair set, so decisions must
+    agree on >= 95% of vectors (boundary pairs may differ)."""
+    import ray.data
+
+    from quichash_ray.pipelines.similarity import (
+        cosine_neardup_pairs,
+        semantic_dedup,
+    )
+    from quichash_ray.stages.unionfind import driver_union_find
+
+    emb = ray.data.read_parquet(f"{sf0001_dir}/embeddings.parquet")
+    got = (
+        semantic_dedup(emb, threshold=0.4, nlist=16, nprobe=4)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    exact_pairs = cosine_neardup_pairs(emb, 0.4).to_pandas()
+    edges = list(zip(exact_pairs["vec_id_a"], exact_pairs["vec_id_b"]))
+    root = driver_union_find(edges)
+    # min-id rep per exact component
+    comp_min: dict[int, int] = {}
+    for n, r in root.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want_rep = {
+        v: comp_min.get(root[v], v) if v in root else v
+        for v in got.index
+    }
+    agree = sum(got.loc[v, "rep_id"] == want_rep[v] for v in got.index)
+    assert agree / len(got) >= 0.95
+    # every vector present exactly once; keep iff own representative
+    assert (got["keep"] == (got.index == got["rep_id"]).astype(int)).all()
+    assert len(got) == emb.count()
+
+
+# ---------------------------------------------------------------------------
 # vocab top-k
 # ---------------------------------------------------------------------------
 
