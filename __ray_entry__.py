@@ -136,7 +136,7 @@ def _q_multi_digest(sf_dir: str):
     return ds.map_batches(
         lambda b: b.select(["doc_id", "md5", "sha256"]),
         batch_format="pyarrow",
-        zero_copy_batch=True,
+        zero_copy_batch=True, batch_size=None,
     )
 
 
@@ -239,7 +239,7 @@ def _q_knn_topk(sf_dir: str):
     out = knn_topk(_emb(sf_dir), query_ids=list(range(10)), k=5)
     return out.map_batches(
         lambda b: b.rename_columns(["query_id", "vec_id", "rnk"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -273,7 +273,7 @@ def _q_fast_mode_digest(sf_dir: str):
                 "fast_mode": b["fast_mode"],
             }
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -351,7 +351,7 @@ def _q_events_window_agg(sf_dir: str):
         )
 
     return hash_exchange(
-        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "part",
         agg,
         num_parts,
@@ -424,7 +424,7 @@ def _q_events_hopping_agg(sf_dir: str):
         )
 
     return hash_exchange(
-        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "part",
         agg,
         num_parts,
@@ -486,7 +486,7 @@ def _q_events_sessionize(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return hash_exchange(
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "part",
         sessionize,
         num_parts,
@@ -619,7 +619,7 @@ def _q_substring_spans_blocks(sf_dir: str):
         )
 
     labeled = docs.map_batches(
-        label, batch_format="pyarrow", zero_copy_batch=True
+        label, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     cfg = FuzzyConfig(suffix_min_span_tokens=3, suffix_max_cluster=64)
     return substring_spans(labeled, cfg)
@@ -650,7 +650,7 @@ def _q_multimodal_image_features(sf_dir: str):
             }
         )
 
-    return out.map_batches(drop_list, batch_format="pyarrow")
+    return out.map_batches(drop_list, batch_format="pyarrow", batch_size=None)
 
 
 def _q_multimodal_video_frames(sf_dir: str):
@@ -696,7 +696,7 @@ def _q_ivf_knn_topk(sf_dir: str):
 
     return out.map_batches(
         lambda b: b.rename_columns(["query_id", "vec_id", "rnk"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -845,9 +845,9 @@ def _q_events_asof_join(sf_dir: str):
             }
         )
 
-    left = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    left = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     right = ev.map_batches(
-        purchases, batch_format="pyarrow", zero_copy_batch=True
+        purchases, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     joined = asof_join(
         left,
@@ -887,7 +887,7 @@ def _q_events_asof_join(sf_dir: str):
         )
 
     return joined.map_batches(
-        add_lag, batch_format="pyarrow", zero_copy_batch=True
+        add_lag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

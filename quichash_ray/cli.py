@@ -130,7 +130,7 @@ def cmd_verify(args) -> int:
             return b
 
         classified = verify_mixed(
-            stored.map_batches(normalize, batch_format="pyarrow"),
+            stored.map_batches(normalize, batch_format="pyarrow", batch_size=None),
             current,
             content_col=args.content_col,
         ).materialize()

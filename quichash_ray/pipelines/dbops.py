@@ -105,7 +105,7 @@ def verify_classify(
             }
         )
 
-    return joined.map_batches(classify, batch_format="pyarrow")
+    return joined.map_batches(classify, batch_format="pyarrow", batch_size=None)
 
 
 def _verify_mixed_broadcast(
@@ -172,7 +172,9 @@ def _verify_mixed_broadcast(
         return np.where(hit, pos, -1).astype(np.int64)
 
     def classify(b: pa.Table) -> pa.Table:
-        spb, sdb, sab, sfb = ray.get(ref)
+        from quichash_ray.stages.broadcast import cached_get
+
+        spb, sdb, sab, sfb = cached_get(ref)
         paths = b[path_col].to_pylist()
         texts = b[content_col].to_pylist()
         pos = _positions(paths, spb)
@@ -220,7 +222,7 @@ def _verify_mixed_broadcast(
         )
 
     classified = current.select_columns([path_col, content_col]).map_batches(
-        classify, batch_format="pyarrow", zero_copy_batch=True
+        classify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     # missing = stored entries no current row touched. The seen-set pass is
@@ -228,7 +230,9 @@ def _verify_mixed_broadcast(
     # indices are deduplicated remotely and the driver merges arrays
     # bounded by |stored|, never the corpus.
     def seen_idx(b: pa.Table) -> pa.Table:
-        spb, _, _, _ = ray.get(ref)
+        from quichash_ray.stages.broadcast import cached_get
+
+        spb, _, _, _ = cached_get(ref)
         pos = _positions(b[path_col].to_pylist(), spb)
         return pa.table(
             {"sidx": pa.array(np.unique(pos[pos >= 0]), pa.int64())}
@@ -236,7 +240,7 @@ def _verify_mixed_broadcast(
 
     seen = (
         current.select_columns([path_col])
-        .map_batches(seen_idx, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(seen_idx, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .materialize()
     )
     seen_chunks = [np.empty(0, np.int64)]
@@ -337,7 +341,7 @@ def verify_mixed(
     joined = cur_side.join(
         stored.select_columns(
             [path_col, digest_col, algo_col, fast_col]
-        ).map_batches(mark_stored, batch_format="pyarrow"),
+        ).map_batches(mark_stored, batch_format="pyarrow", batch_size=None),
         join_type="full_outer",
         num_partitions=num_partitions,
         on=(path_col,),
@@ -390,7 +394,7 @@ def verify_mixed(
             }
         )
 
-    return joined.map_batches(kernel, batch_format="pyarrow")
+    return joined.map_batches(kernel, batch_format="pyarrow", batch_size=None)
 
 
 def verify_report(classified: Dataset) -> dict:
@@ -441,7 +445,7 @@ def compare_classify(
             {on: b[on], "status": status, "digest1": d1, "digest2": d2}
         )
 
-    return joined.map_batches(classify, batch_format="pyarrow")
+    return joined.map_batches(classify, batch_format="pyarrow", batch_size=None)
 
 
 def moved_pairs(classified: Dataset) -> Dataset:
@@ -464,7 +468,7 @@ def moved_pairs(classified: Dataset) -> Dataset:
             {"digest": digest, "path": b["path"], "status": b["status"]}
         )
 
-    sides = rm_add.map_batches(to_sides, batch_format="pyarrow")
+    sides = rm_add.map_batches(to_sides, batch_format="pyarrow", batch_size=None)
 
     def pair(group: pd.DataFrame) -> pd.DataFrame:
         removed = sorted(group.loc[group["status"] == "removed", "path"])

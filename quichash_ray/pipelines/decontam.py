@@ -91,7 +91,9 @@ def decontaminate(
     keys_ref = ray.put((sha_arr, fp_arr))
 
     def classify(b: pa.Table) -> pa.Table:
-        shas, fps = ray.get(keys_ref)  # sorted unique bytes
+        from quichash_ray.stages.broadcast import cached_get
+
+        shas, fps = cached_get(keys_ref)  # sorted unique bytes
         texts = b[text_col].to_pylist()
         reason = np.full(len(texts), "", dtype="U11")
         for i, txt in enumerate(texts):
@@ -125,7 +127,7 @@ def decontaminate(
         return out.filter(pa.array(hit))
 
     return train.map_batches(
-        classify, batch_format="pyarrow", zero_copy_batch=True
+        classify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -207,10 +209,10 @@ def _decontaminate_join(
         )
 
     test_keys = test.map_batches(
-        lambda b: _emit_keys(b, 0), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: _emit_keys(b, 0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     train_keys = train.map_batches(
-        lambda b: _emit_keys(b, 1), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: _emit_keys(b, 1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     def _fixed_keys(tbl: pa.Table, w: int) -> np.ndarray:
@@ -287,7 +289,7 @@ def _decontaminate_join(
 
     removed = hash_exchange(
         matched.map_batches(
-            id_part, batch_format="pyarrow", zero_copy_batch=True
+            id_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         "part",
         reduce_ids,
@@ -326,10 +328,10 @@ def _decontaminate_join(
         return pa.table(cols)
 
     left = train.map_batches(
-        train_part, batch_format="pyarrow", zero_copy_batch=True
+        train_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     right = removed.map_batches(
-        removed_part, batch_format="pyarrow", zero_copy_batch=True
+        removed_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     def anti(g: pa.Table) -> pa.Table:

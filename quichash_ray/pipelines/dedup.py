@@ -48,7 +48,7 @@ def digest_table(
         keep = [*key_cols, "digest", "size", "_dp"]
         return b.select([c for c in keep if c in b.column_names])
 
-    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def _banded_digest_agg(
@@ -107,7 +107,7 @@ def _banded_digest_agg(
 
     return hash_exchange(
         digests.map_batches(
-            add_part, batch_format="pyarrow", zero_copy_batch=True
+            add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         "part",
         agg_arrow,
@@ -273,7 +273,7 @@ def per_algorithm_counts(db: Dataset) -> Dataset:
 
     partials = (
         db.select_columns(["algorithm", "fast_mode"])
-        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("part")
         .map_groups(agg, batch_format="pandas")
     )
@@ -329,7 +329,7 @@ def analyze_stats(
             }
         )
 
-    partials = per_digest.map_batches(to_stats, batch_format="pyarrow")
+    partials = per_digest.map_batches(to_stats, batch_format="pyarrow", batch_size=None)
     totals = partials.sum(
         ["groups", "files", "bytes", "dup_groups", "dup_files", "wasted_bytes"]
     )

@@ -64,7 +64,7 @@ def dup_planted(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(
         lambda b: _copies(b, text_col),
         batch_format="pyarrow",
-        zero_copy_batch=True,
+        zero_copy_batch=True, batch_size=None,
     )
 
 
@@ -136,7 +136,7 @@ def verify_scenario(planted: Dataset) -> tuple[Dataset, Dataset]:
         return cur
 
     current = planted.map_batches(
-        to_current, batch_format="pyarrow", zero_copy_batch=True
+        to_current, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return planted, current
 
@@ -195,7 +195,7 @@ def mixed_verify_scenario(
         )
 
     stored = planted.map_batches(
-        to_stored, batch_format="pyarrow", zero_copy_batch=True
+        to_stored, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     _, current = verify_scenario(planted)
     return stored, current
@@ -263,7 +263,7 @@ def decontam_test_corpus(docs: Dataset, text_col: str = "text") -> Dataset:
         )
 
     return docs.map_batches(
-        to_test, batch_format="pyarrow", zero_copy_batch=True
+        to_test, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -300,8 +300,8 @@ def compare_scenario(docs: Dataset, text_col: str = "text") -> tuple[Dataset, Da
         return pa.table({"doc_id": s["doc_id"], "path": path, "text": text})
 
     return (
-        docs.map_batches(to_db1, batch_format="pyarrow", zero_copy_batch=True),
-        docs.map_batches(to_db2, batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(to_db1, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        docs.map_batches(to_db2, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
     )
 
 
@@ -404,7 +404,7 @@ def repo_forked(ds: Dataset, text_col: str = "text") -> Dataset:
         return pa.concat_tables([base, fork])
 
     return ds.map_batches(
-        expand, batch_format="pyarrow", zero_copy_batch=True
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -504,7 +504,7 @@ def repo_history(ds: Dataset, text_col: str = "text") -> Dataset:
         return pa.concat_tables(parts)
 
     return ds.map_batches(
-        expand, batch_format="pyarrow", zero_copy_batch=True
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -571,7 +571,7 @@ def pii_planted(ds: Dataset, text_col: str = "text") -> Dataset:
             {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
         )
 
-    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 PII_PLANTED_SQL = """
@@ -626,7 +626,7 @@ def line_planted(ds: Dataset, text_col: str = "text") -> Dataset:
             {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
         )
 
-    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 LINE_PLANTED_SQL = """

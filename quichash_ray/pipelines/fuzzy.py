@@ -129,7 +129,7 @@ def exact_stage(
     from quichash_ray.stages.exchange import hash_exchange
 
     membership = hash_exchange(
-        digests.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True),
+        digests.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "part",
         assign_rep,
         num_parts,
@@ -255,7 +255,7 @@ def combined_candidate_pairs(
 
     bucketed = signatures.select_columns(
         [id_col, "minhash", "simhash", "n_shingles"]
-    ).map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(bucket_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     _LUT = np.array([bin(i).count("1") for i in range(256)], np.uint8)
 
@@ -345,7 +345,7 @@ def combined_candidate_pairs(
         )
 
     return hash_exchange(
-        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True),
+        pairs.map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "dpart",
         drop_dups,
         num_parts,
@@ -417,7 +417,7 @@ def verify_pairs_jaccard(
         )
     else:
         filtered = signatures.select_columns([id_col, "shingles"]).map_batches(
-            filter_sigs, batch_format="pyarrow", zero_copy_batch=True
+            filter_sigs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
     # shard count scales with the session's CPUs: the shard builds are the
     # only tasks running at this point in the chain (round-1's fixed 8 was
@@ -487,7 +487,12 @@ def verify_pairs_jaccard(
     thr = cfg.jaccard_threshold
 
     def verify(b: pa.Table) -> pa.Table:
-        shards = ray.get(shard_refs)
+        from quichash_ray.stages.broadcast import cached_get
+
+        # zero-copy plasma views, got once per worker (per-batch re-gets
+        # are one raylet IPC per shard per batch — measured kernel-side
+        # churn; see stages/broadcast.py). Bounded by candidate ids.
+        shards = [cached_get(r) for r in shard_refs]
         ids_a = np.asarray(b["id_a"], dtype=np.int64)
         ids_b = np.asarray(b["id_b"], dtype=np.int64)
         # batch-local dedup: a near-dup pair surfaces from up to b bands;
@@ -525,7 +530,7 @@ def verify_pairs_jaccard(
         return out.filter(pa.array(keep))
 
     return candidates.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -626,7 +631,7 @@ def fuzzy_dedup(
 
     lab = labels.map_batches(
         lambda b: b.rename_columns(["rep", "cluster_id"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     assigned = attach_lookup(
         membership,
@@ -648,4 +653,4 @@ def fuzzy_dedup(
             }
         )
 
-    return assigned.map_batches(finalize, batch_format="pyarrow")
+    return assigned.map_batches(finalize, batch_format="pyarrow", batch_size=None)

@@ -85,7 +85,7 @@ def line_stats(
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def common_lines(
@@ -117,7 +117,7 @@ def common_lines(
         )
 
     dfreq = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).groupby("line").sum("cnt")
     threshold = int(pct) * int(n_docs)  # df*100 >= pct*n_docs, integers
 
@@ -130,7 +130,7 @@ def common_lines(
         )
         return pa.table({"line": b.filter(mask)["line"]})
 
-    hot = dfreq.map_batches(hot_only, batch_format="pyarrow")
+    hot = dfreq.map_batches(hot_only, batch_format="pyarrow", batch_size=None)
     # bounded by (100/pct) * avg_lines_per_doc — see module docstring
     return sorted(r["line"] for r in hot.take_all())
 
@@ -147,28 +147,35 @@ def boilerplate_removal(
     common_ref = ray.put(np.array(common_lines(ds, n_docs, pct, text_col)))
 
     def scrub(b: pa.Table) -> pa.Table:
-        common = ray.get(common_ref)
+        from quichash_ray.stages.broadcast import cached_get
+
+        common = cached_get(common_ref)
         lists = _split_lines(b, text_col)
         offsets = np.asarray(lists.offsets)
         n_lines = np.diff(offsets).astype(np.int64)
         doc_idx = np.repeat(np.arange(len(n_lines)), n_lines)
-        vals = lists.flatten().to_pandas().values
+        flat = lists.flatten()  # values in slice order, matching doc_idx
+        vals = flat.to_pandas().values
         drop = pd.Series(vals).isin(common).to_numpy()
         n_removed = np.zeros(len(n_lines), dtype=np.int64)
         if drop.any():
             np.add.at(n_removed, doc_idx[drop], 1)
-        keep = ~drop
-        clean = [
-            "\n".join(vals[offsets[i] : offsets[i + 1]][keep[offsets[i] : offsets[i + 1]]])
-            for i in range(len(n_lines))
-        ]
+        # vectorized rejoin: rebuild a list array over the surviving lines
+        # and C-join with "\n" — no per-doc Python loop
+        new_offsets = np.zeros(len(n_lines) + 1, dtype=np.int64)
+        np.cumsum(n_lines - n_removed, out=new_offsets[1:])
+        clean_lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, pa.int64()),
+            flat.filter(pa.array(~drop)),
+        )
+        clean = pc.binary_join(clean_lists, "\n")
         return pa.table(
             {
                 id_col: b[id_col],
                 "n_lines": pa.array(n_lines),
                 "n_removed": pa.array(n_removed),
-                "clean_text": pa.array(clean, pa.string()),
+                "clean_text": pc.cast(clean, pa.string()),
             }
         )
 
-    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -140,7 +140,7 @@ def candidate_pair_counts(
         return b.append_column("band", pa.array(band.astype(np.int64)))
 
     banded = shingles.map_batches(
-        add_band, batch_format="pyarrow", zero_copy_batch=True
+        add_band, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -257,4 +257,4 @@ def jaccard_pairs(
         )
         return out.filter(mask)
 
-    return j2.map_batches(flt, batch_format="pyarrow")
+    return j2.map_batches(flt, batch_format="pyarrow", batch_size=None)

@@ -56,4 +56,4 @@ def pii_scrub(
         cols["clean_text"] = clean
         return pa.table(cols)
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

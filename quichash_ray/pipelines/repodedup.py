@@ -114,7 +114,7 @@ def _sum_by_key(
         )
 
     return hash_exchange(
-        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "part",
         agg,
         num_parts,
@@ -173,7 +173,7 @@ def latest_snapshot(
     # distinct keys, never corpus rows; also decides the tier
     winners = (
         ds.select_columns(cols)
-        .map_batches(partial_max, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial_max, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(list(key_cols))
         .map_groups(final_max, batch_format="pandas")
         .materialize()
@@ -198,7 +198,9 @@ def latest_snapshot(
         ref = ray.put((karr[order], varr[order]))
 
         def keep_latest(b: pa.Table) -> pa.Table:
-            km, vm = ray.get(ref)
+            from quichash_ray.stages.broadcast import cached_get
+
+            km, vm = cached_get(ref)
             if b.num_rows == 0 or len(km) == 0:
                 return b.slice(0, 0)
             joined = b[key_cols[0]]
@@ -222,7 +224,7 @@ def latest_snapshot(
             return b.filter(pa.array(keep))
 
         return ds.map_batches(
-            keep_latest, batch_format="pyarrow", zero_copy_batch=True
+            keep_latest, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
 
     # giant-key-set tier: partition full rows by key and keep each
@@ -390,7 +392,7 @@ def repo_neardup(
 
     mixed = hash_exchange(
         digests.map_batches(
-            add_part, batch_format="pyarrow", zero_copy_batch=True
+            add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         "part",
         per_partition,
@@ -409,10 +411,10 @@ def repo_neardup(
 
     # both tables are candidate-bounded: P2 sized to them, not the corpus
     pairs_raw = mixed.map_batches(
-        _filter_kind(0), batch_format="pyarrow", zero_copy_batch=True
+        _filter_kind(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
     sizes_raw = mixed.map_batches(
-        _filter_kind(1), batch_format="pyarrow", zero_copy_batch=True
+        _filter_kind(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
     P2 = dataset_num_parts(pairs_raw, bytes_per_row=120, target_bytes=32 << 20)
     P3 = dataset_num_parts(sizes_raw, bytes_per_row=80, target_bytes=32 << 20)
@@ -430,7 +432,7 @@ def repo_neardup(
     # pk collision between distinct pairs cannot merge their counts
     pairs = _sum_by_key(
         pairs_raw.map_batches(
-            add_pair_key, batch_format="pyarrow", zero_copy_batch=True
+            add_pair_key, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         key_cols=["ka", "kb"],
         part_key="pk",
@@ -500,5 +502,5 @@ def repo_neardup(
     # a typed empty block keeps the output schema stable even when no
     # pair survives (zero-block datasets otherwise lose their schema)
     return pairs.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).union(ray.data.from_arrow(empty_final))

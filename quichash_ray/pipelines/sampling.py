@@ -25,14 +25,16 @@ literally (DuckDB ``md5()`` + ``QUALIFY row_number()``).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
 from quichash_ray.stages.exchange import hash_exchange
-from quichash_ray.stages.partitioning import dataset_num_parts
+from quichash_ray.stages.partitioning import (
+    dataset_num_parts,
+    key_part_column,
+)
 
 
 def _md5_hex(ids: list) -> list[str]:
@@ -53,7 +55,7 @@ def hash_sample(
         mask = pa.array([p < threshold for p in pfx], pa.bool_())
         return b.filter(mask)
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def cap_per_group(
@@ -71,10 +73,6 @@ def cap_per_group(
         )
 
     def tag(b: pa.Table) -> pa.Table:
-        groups = b[group_col].to_pylist()
-        parts = [
-            zlib.crc32(str(g).encode("utf-8")) % num_parts for g in groups
-        ]
         return pa.table(
             {
                 id_col: b[id_col],
@@ -82,7 +80,7 @@ def cap_per_group(
                 "skey": pa.array(
                     _md5_hex(b[id_col].to_pylist()), pa.string()
                 ),
-                "part": pa.array(parts, pa.int64()),
+                "part": key_part_column(b[group_col], num_parts),
             }
         )
 
@@ -104,7 +102,7 @@ def cap_per_group(
         )
 
     return hash_exchange(
-        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         "part",
         topk,
         num_parts,

@@ -82,7 +82,7 @@ def knn_topk(
 
     filtered = (
         ds.select_columns([id_col, emb_col])
-        .map_batches(keep_queries, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(keep_queries, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .materialize()
     )
     q_tbl = pa.concat_tables(
@@ -95,7 +95,9 @@ def knn_topk(
     q_ref = ray.put((q_ids, q_mat))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        ids, qm = ray.get(q_ref)
+        from quichash_ray.stages.broadcast import cached_get
+
+        ids, qm = cached_get(q_ref)
         vecs = _emb_matrix(batch, emb_col)
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         sims = qm @ vecs.T  # (q, n)
@@ -121,7 +123,7 @@ def knn_topk(
         )
 
     partials = ds.map_batches(
-        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -163,16 +165,20 @@ def cosine_neardup_pairs(
         vids = np.asarray(batch[id_col], dtype=np.int64)
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
+        strip = 4096  # bound the sims matrix to |a_block| × strip
         for ref in a_refs:
             ids_a, am = ray.get(ref)  # zero-copy same-node
             if len(ids_a) == 0:
                 continue
-            sims = am @ vecs.T  # (a, n)
-            hit_a, hit_b = np.nonzero(
-                (sims >= threshold) & (ids_a[:, None] < vids[None, :])
-            )
-            out_a.append(ids_a[hit_a])
-            out_b.append(vids[hit_b])
+            for s in range(0, len(vids), strip):
+                vs = vecs[s : s + strip]
+                vi = vids[s : s + strip]
+                sims = am @ vs.T  # (a, ≤strip)
+                hit_a, hit_b = np.nonzero(
+                    (sims >= threshold) & (ids_a[:, None] < vi[None, :])
+                )
+                out_a.append(ids_a[hit_a])
+                out_b.append(vi[hit_b])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         return pa.table(
@@ -183,7 +189,7 @@ def cosine_neardup_pairs(
         )
 
     return ds.map_batches(
-        find_pairs, batch_format="pyarrow", zero_copy_batch=True
+        find_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -295,7 +301,7 @@ def _pairs_from_buckets(
 
     return hash_exchange(
         candidates.map_batches(
-            pair_part, batch_format="pyarrow", zero_copy_batch=True
+            pair_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ),
         "dpart",
         drop_dups,
@@ -310,19 +316,33 @@ def _exact_verify_pairs(
     id_col: str,
     emb_col: str,
     num_parts: int | None = None,
+    broadcast_bytes: int = 64 << 20,
 ) -> Dataset:
-    """Exact cosine verification of a sparse candidate-pair set —
-    candidate-bounded end to end.
+    """Exact cosine verification of a candidate-pair set — candidate-bounded
+    end to end, two tiers picked by the measured candidate-vector footprint.
 
-    Vectors for exactly the ids appearing in candidate pairs are
-    normalized, binary-encoded (float64 LE rows) and CO-PARTITIONED with
-    the pairs by hash(id) % P via :func:`pairverify._attach_side` — the
-    same repartition-join discipline the minhash verifier uses. Per-task
-    memory is one partition of pairs + their vectors; nothing anywhere
-    holds the corpus (the round-2 design merged every normalized shard
-    into each worker — O(corpus) per worker, a scale-killer at 10^9
-    vectors; reference analog: the candidate-bounded discipline of
-    verify.rs:264-361 generalized)."""
+    Both tiers start identically: vectors for exactly the ids appearing in
+    candidate pairs (never the corpus) are normalized and binary-encoded
+    (float64 LE rows) by a streaming filter over ``data``.
+
+    - **Broadcast tier** (candidate vectors ≤ ``broadcast_bytes``): the
+      filtered matrix is ``ray.put`` once and each pair batch verifies with
+      one searchsorted + einsum — no further shuffle. This is the fast path
+      when candidates are DENSE (loose thresholds / coarse buckets make the
+      candidate set approach the quadratic pair set, where attaching two
+      vectors per pair costs |pairs|·2·dim·8 bytes of shuffle — far more
+      than one bounded broadcast). Per-worker memory is capped by
+      ``broadcast_bytes``, not the corpus.
+    - **Attach tier** (above the limit): pairs are CO-PARTITIONED with
+      their vectors by hash(id) % P via :func:`pairverify._attach_side` —
+      the same repartition-join discipline the minhash verifier uses.
+      Per-task memory is one partition of pairs + their vectors.
+
+    Nothing in either tier holds the corpus (the round-2 design merged
+    every normalized shard into each worker — O(corpus) per worker, a
+    scale-killer at 10^9 vectors; reference analog: the candidate-bounded
+    discipline of verify.rs:264-361 generalized). The tiers are
+    equivalence-tested."""
     import ray
 
     from quichash_ray.stages.pairverify import (
@@ -341,7 +361,7 @@ def _exact_verify_pairs(
         )
 
     cands = pairs.map_batches(
-        to_generic, batch_format="pyarrow", zero_copy_batch=True
+        to_generic, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
     cand_ids = collect_pair_ids(cands)
     cand_ref = ray.put(cand_ids)
@@ -381,13 +401,67 @@ def _exact_verify_pairs(
             }
         )
 
-    # bounded by candidate ids, never the corpus; materialized because two
-    # attach shuffles consume it
+    # bounded by candidate ids, never the corpus; materialized because the
+    # tier choice inspects its size and both tiers consume it
     vecs = (
         data.select_columns([id_col, emb_col])
-        .map_batches(vec_to_binary, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(vec_to_binary, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .materialize()
     )
+
+    # tier choice from block METADATA (no driver fetch in the attach tier):
+    # the materialized vecs dataset is already candidate-filtered, so its
+    # size ≈ |cand_ids| · (dim·8 + 8) bytes
+    vec_bytes = vecs.size_bytes() or 0
+    if vec_bytes <= broadcast_bytes:
+        live = [
+            t
+            for t in (ray.get(r) for r in vecs.to_arrow_refs())
+            if t.num_rows and "vec" in t.column_names
+        ]
+        if live:
+            vt = pa.concat_tables(live)
+            ids_b = np.asarray(vt[id_col], np.int64)
+            vals, offs = binary_col_parts(vt["vec"].combine_chunks())
+            d = int(offs[1] - offs[0]) // 8 if len(offs) > 1 else 1
+            mat_b = (
+                vals[offs[0] : offs[-1]]
+                .view(np.float64)
+                .reshape(-1, d)
+            )
+            order = np.argsort(ids_b)
+            mref = ray.put((ids_b[order], np.ascontiguousarray(mat_b[order])))
+        else:
+            mref = ray.put((np.empty(0, np.int64), np.empty((0, 1), np.float64)))
+
+        def verify_bcast(b: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vec_id_a": pa.array([], pa.int64()),
+                    "vec_id_b": pa.array([], pa.int64()),
+                }
+            )
+            if b.num_rows == 0:
+                return empty
+            from quichash_ray.stages.broadcast import cached_get
+
+            ids_s, m = cached_get(mref)
+            a = np.asarray(b["id_a"], np.int64)
+            bb = np.asarray(b["id_b"], np.int64)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, bb)
+            sims = np.einsum("ij,ij->i", m[ia], m[ib])
+            hit = sims >= threshold
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(a[hit], pa.int64()),
+                    "vec_id_b": pa.array(bb[hit], pa.int64()),
+                }
+            )
+
+        return cands.map_batches(
+            verify_bcast, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
 
     pair_ids_schema = [("id_a", pa.int64()), ("id_b", pa.int64())]
     w_a = _attach_side(
@@ -427,7 +501,7 @@ def _exact_verify_pairs(
         )
 
     return w_ab.map_batches(
-        verify, batch_format="pyarrow", zero_copy_batch=True
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -502,7 +576,7 @@ def lsh_bucketed_neardup(
         )
 
     bucketed = data.map_batches(
-        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
+        bucket_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     deduped = _pairs_from_buckets(
         bucketed, num_parts, bucket_cap, metrics, "ann", id_col
@@ -591,7 +665,9 @@ def ivf_bucketed_neardup(
 
     # --- inverted-list assignment: nprobe cells per vector ---------------
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cent_ref)
+        from quichash_ray.stages.broadcast import cached_get
+
+        cents = cached_get(cent_ref)
         vecs = _emb_matrix(batch, emb_col)
         n = len(vecs)
         if n == 0:
@@ -618,7 +694,7 @@ def ivf_bucketed_neardup(
         )
 
     bucketed = data.map_batches(
-        bucket_rows, batch_format="pyarrow", zero_copy_batch=True
+        bucket_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     deduped = _pairs_from_buckets(
         bucketed, num_parts, bucket_cap, metrics, "ivf", id_col
@@ -666,7 +742,7 @@ def ivf_knn(
 
     filtered = (
         data.map_batches(
-            keep_queries, batch_format="pyarrow", zero_copy_batch=True
+            keep_queries, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         ).materialize()
     )
     q_tbl = pa.concat_tables([ray.get(r) for r in filtered.to_arrow_refs()])
@@ -683,7 +759,9 @@ def ivf_knn(
     q_ref = ray.put((q_ids, q_mat, probe_mat, centroids))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        ids, qm, probes, cents = ray.get(q_ref)
+        from quichash_ray.stages.broadcast import cached_get
+
+        ids, qm, probes, cents = cached_get(q_ref)
         vecs = _emb_matrix(batch, emb_col)
         if len(vecs) == 0:
             return pa.table(
@@ -720,7 +798,7 @@ def ivf_knn(
         )
 
     partials = data.map_batches(
-        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -830,7 +908,7 @@ def semantic_dedup(
         return pa.table({"id_a": b[f"{id_col}_a"], "id_b": b[f"{id_col}_b"]})
 
     comps = connected_components(
-        pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     ).materialize()  # (node, cluster_id), near-dup nodes only
 
     reps = comps.groupby("cluster_id").min("node")
@@ -860,5 +938,5 @@ def semantic_dedup(
         )
 
     return out.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

@@ -38,7 +38,7 @@ def token_counts(
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def text_quality(
@@ -62,7 +62,7 @@ def text_quality(
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def language_id(
@@ -85,7 +85,7 @@ def language_id(
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def fingerprints(
@@ -107,7 +107,7 @@ def fingerprints(
             {id_col: b[id_col], "fingerprint": pa.array(fps, pa.string())}
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 _STOPWORDS = (
@@ -157,7 +157,7 @@ def vocab_topk(
         )
 
     agg = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).groupby("token").sum("cnt")
 
     def rename(b: pa.Table) -> pa.Table:
@@ -171,7 +171,7 @@ def vocab_topk(
         )
 
     return (
-        agg.map_batches(rename, batch_format="pyarrow")
+        agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
@@ -253,4 +253,4 @@ def gopher_quality(
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

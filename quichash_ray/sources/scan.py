@@ -105,4 +105,4 @@ def apply_ignore(
         mask = [not f.is_ignored(p) for p in b[path_col].to_pylist()]
         return b.filter(pa.array(mask))
 
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

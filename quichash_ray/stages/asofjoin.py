@@ -36,24 +36,10 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from quichash_ray.stages.exchange import hash_exchange
-from quichash_ray.stages.partitioning import dataset_num_parts
-
-
-def _key_part(col: pa.ChunkedArray | pa.Array, num_parts: int) -> pa.Array:
-    """Stable hash partition of an int64 or string key column."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if pa.types.is_integer(arr.type):
-        vals = np.asarray(arr.cast(pa.int64()))
-        # splitmix-style scramble so sequential ids spread across parts
-        h = (vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((h % np.uint64(num_parts)).astype(np.int64))
-    import zlib
-
-    parts = [
-        zlib.crc32(v.encode("utf-8")) % num_parts if v is not None else 0
-        for v in arr.to_pylist()
-    ]
-    return pa.array(parts, pa.int64())
+from quichash_ray.stages.partitioning import (
+    dataset_num_parts,
+    key_part_column,
+)
 
 
 def asof_join(
@@ -99,7 +85,7 @@ def asof_join(
         # identical column ORDER on both sides — the exchange unions them
         n = b.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
-            "part": _key_part(b[by], num_parts),
+            "part": key_part_column(b[by], num_parts),
             "_side": pa.array(np.full(n, side, dtype=np.int8)),
             by: b[by],
             ts_col: b[ts_col],
@@ -111,10 +97,10 @@ def asof_join(
         return pa.table(cols)
 
     tagged_left = left.map_batches(
-        lambda b: _pad(b, 0), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: _pad(b, 0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     tagged_right = right.map_batches(
-        lambda b: _pad(b, 1), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: _pad(b, 1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     out_fields = (

@@ -1,7 +1,7 @@
 """Digest stage — stateless ``map_batches`` kernels over zero-copy Arrow.
 
 The exact-dup core (north_star): per-row content digests computed inside
-``Dataset.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)``.
+``Dataset.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)``.
 Replaces the reference's walker→channel→rayon pipeline
 (/root/reference/src/scan.rs:290-526) — Ray Data's streaming executor provides
 the discovery/hash overlap and backpressure for free.

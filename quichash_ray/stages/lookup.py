@@ -54,7 +54,9 @@ def attach_lookup(
         ref = ray.put((keys_arr[order], vals_arr[order]))
 
         def kernel(b: pa.Table) -> pa.Table:
-            km, vm = ray.get(ref)
+            from quichash_ray.stages.broadcast import cached_get
+
+            km, vm = cached_get(ref)
             col = np.asarray(b[key_col], dtype=np.int64)
             if len(km) == 0:
                 hit = np.zeros(len(col), dtype=bool)
@@ -74,11 +76,11 @@ def attach_lookup(
             return b.append_column(out_col, arr)
 
         return ds.map_batches(
-            kernel, batch_format="pyarrow", zero_copy_batch=True
+            kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
     renamed = mapping.select_columns([map_key, value_col]).map_batches(
         lambda b: b.rename_columns([key_col, out_col]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     return ds.join(
         renamed,
@@ -111,7 +113,9 @@ def semi_join_broadcast(
         ref = ray.put(idset)
 
         def kernel(b: pa.Table) -> pa.Table:
-            ids = ray.get(ref)  # sorted unique (np.unique)
+            from quichash_ray.stages.broadcast import cached_get
+
+            ids = cached_get(ref)  # sorted unique (np.unique)
             col = np.asarray(b[key_col])
             if len(ids) == 0:
                 return b.slice(0, 0)
@@ -122,7 +126,7 @@ def semi_join_broadcast(
             return b.filter(pa.array(mask))
 
         return ds.map_batches(
-            kernel, batch_format="pyarrow", zero_copy_batch=True
+            kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
     return ds.join(
         keys, join_type="inner", num_partitions=num_partitions, on=(key_col,)

@@ -134,7 +134,9 @@ def make_id_filter(id_ref, id_col: str):
     import ray
 
     def keep(b: pa.Table) -> pa.Table:
-        wanted = ray.get(id_ref)  # sorted unique
+        from quichash_ray.stages.broadcast import cached_get
+
+        wanted = cached_get(id_ref)  # sorted unique, cached per worker
         col = np.asarray(b[id_col])
         if len(wanted) == 0:
             return b.slice(0, 0)
@@ -244,10 +246,10 @@ def _attach_side(
         return pa.table(cols)
 
     left = pairs.map_batches(
-        pairs_part, batch_format="pyarrow", zero_copy_batch=True
+        pairs_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     right = data.map_batches(
-        data_part, batch_format="pyarrow", zero_copy_batch=True
+        data_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
     def attach(g: pa.Table) -> pa.Table:
@@ -390,7 +392,7 @@ def verify_pairs_distributed(
 
     sigs = (
         signatures.select_columns([id_col, "minhash"])
-        .map_batches(sig_to_binary, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(sig_to_binary, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .materialize()
     )
     _mark(f"sigs_filtered({len(cand_ids)} ids, P={num_parts})")
@@ -425,7 +427,7 @@ def verify_pairs_distributed(
         )
 
     classified = with_ab.map_batches(
-        classify, batch_format="pyarrow", zero_copy_batch=True
+        classify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
     _mark("attach_sigs+classify")
 
@@ -454,7 +456,7 @@ def verify_pairs_distributed(
         shingle_data = content.select_columns([id_col, text_col]).map_batches(
             make_shingle_recompute_fn(bl_ref, id_col, text_col, cfg.shingle_k),
             batch_format="pyarrow",
-            zero_copy_batch=True,
+            zero_copy_batch=True, batch_size=None,
         )
     else:
 
@@ -471,7 +473,7 @@ def verify_pairs_distributed(
         shingle_data = signatures.select_columns(
             [id_col, "shingles"]
         ).map_batches(
-            shingle_to_binary, batch_format="pyarrow", zero_copy_batch=True
+            shingle_to_binary, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
     # bounded by borderline ids; materialized so the content scan runs once
     # (two attach shuffles consume it)
@@ -490,7 +492,7 @@ def verify_pairs_distributed(
     exact_passed = b_ab.map_batches(
         lambda b: exact_jaccard_filter(b, thr),
         batch_format="pyarrow",
-        zero_copy_batch=True,
+        zero_copy_batch=True, batch_size=None,
     ).materialize()
     _mark("tier2_exact")
     return accepted.union(exact_passed)

@@ -34,6 +34,59 @@ def choose_num_parts(
     return int(min(max(p, min_parts), max_parts))
 
 
+def key_part_column(col, num_parts: int):
+    """Vectorized stable hash-partition assignment for an int or string key
+    column → int64 pyarrow array of parts in [0, num_parts).
+
+    Integers take a splitmix-style scramble (sequential ids spread evenly);
+    strings take polars' vectorized xxhash (67× the per-row crc32 loop at
+    1M keys; zlib fallback when polars is absent). Nulls land in part 0.
+    The value is only ever a partition ASSIGNMENT — it never appears in
+    output — so the only requirement is within-job consistency.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(arr.type):
+        vals = np.asarray(arr.cast(pa.int64()))
+        with np.errstate(invalid="ignore"):
+            h = (
+                vals.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(33)
+        parts = (h % np.uint64(num_parts)).astype(np.int64)
+    else:
+        if not (
+            pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+        ):
+            arr = pc.cast(arr, pa.string())
+        try:
+            import polars as pl
+
+            h = pl.from_arrow(arr).hash(seed=0)
+            parts = (
+                np.asarray(h.to_numpy(), dtype=np.uint64)
+                % np.uint64(num_parts)
+            ).astype(np.int64)
+        except ImportError:
+            import zlib
+
+            parts = np.fromiter(
+                (
+                    zlib.crc32(v.encode("utf-8")) % num_parts
+                    if v is not None
+                    else 0
+                    for v in arr.to_pylist()
+                ),
+                dtype=np.int64,
+                count=len(arr),
+            )
+    if arr.null_count:
+        parts[np.asarray(pc.is_null(arr))] = 0
+    return pa.array(parts, pa.int64())
+
+
 def dataset_num_parts(
     ds,
     bytes_per_row: int = 64,

@@ -167,6 +167,6 @@ def substring_stage(
     labeled = labeled.map_batches(
         lambda b: b.filter(pa.compute.is_valid(b["cluster_id"])),
         batch_format="pyarrow",
-        zero_copy_batch=True,
+        zero_copy_batch=True, batch_size=None,
     )
     return substring_spans(labeled, cfg, id_col, text_col)

@@ -145,7 +145,7 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
         )
 
     labels = (
-        edges.map_batches(seed, batch_format="pyarrow", zero_copy_batch=True)
+        edges.map_batches(seed, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("node")
         .aggregate(Min("lbl", alias_name="cluster_id"))
         .materialize()
@@ -158,7 +158,7 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
         # PLUS each node forwards its label to its own label's node
         # (pointer-doubling — collapses chains in O(log diameter) rounds).
         lab = labels.map_batches(
-            lambda b: b.rename_columns(["node", "lbl"]), batch_format="pyarrow"
+            lambda b: b.rename_columns(["node", "lbl"]), batch_format="pyarrow", batch_size=None
         )
         annotated = attach_lookup(
             attach_lookup(edges, lab, "id_a", "lbl", "lbl_a",
@@ -182,7 +182,7 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
             )
 
         relayed = annotated.map_batches(
-            relay, batch_format="pyarrow", zero_copy_batch=True
+            relay, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
         # pointer doubling: node -> label(label(node))
         doubled = attach_lookup(
@@ -193,7 +193,7 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
                         "via": b["cluster_id"],
                     }
                 ),
-                batch_format="pyarrow",
+                batch_format="pyarrow", batch_size=None,
             ),
             lab,
             "via",
@@ -207,7 +207,7 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
                     "lbl": pa.compute.coalesce(b["lbl2"], b["via"]),
                 }
             ),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
         new_labels = (
             relayed.union(doubled)
@@ -220,7 +220,7 @@ def _hash_min(edges: Dataset, max_rounds: int) -> Dataset:
             new_labels,
             labels.map_batches(
                 lambda b: b.rename_columns(["node", "old"]),
-                batch_format="pyarrow",
+                batch_format="pyarrow", batch_size=None,
             ),
             "node",
             "old",

@@ -310,7 +310,7 @@ def checkpointed_fuzzy_dedup(
         labels = connected_components(verified)
         lab = labels.map_batches(
             lambda b: b.rename_columns(["rep", "cluster_id"]),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
         assigned = attach_lookup(
             membership, lab, key_col="rep", value_col="cluster_id",
@@ -327,7 +327,7 @@ def checkpointed_fuzzy_dedup(
                 }
             )
 
-        return assigned.map_batches(finalize, batch_format="pyarrow")
+        return assigned.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
     return cp.run("clusters", _clusters, ("membership", "verified_edges"))
 
