@@ -917,6 +917,23 @@ def _q_cap_per_source(sf_dir: str):
     return cap_per_group(_docs(sf_dir), group_col="source", k=10)
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Tiered incremental dedup: classify a new crawl shard against the
+    existing corpus's digest table. Runs the BLOOM tier explicitly (the
+    100-TB path: distributed bitmap + positives-only exact verify, zero
+    shuffles); the three tiers are equivalence-tested in
+    tests/test_incremental.py."""
+    from quichash_ray.pipelines.dedup import digest_table
+    from quichash_ray.pipelines.derived import incremental_new
+    from quichash_ray.pipelines.incremental import incremental_dedup
+
+    old = digest_table(
+        _docs(sf_dir), content_col="text", key_cols=("doc_id",)
+    )
+    new = incremental_new(_docs(sf_dir))
+    return incremental_dedup(new, old, tier="bloom")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -962,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "cap_per_source": _q_cap_per_source,
         "semantic_dedup": _q_semantic_dedup,
+        "incremental_dedup": _q_incremental_dedup,
     }
 
 
@@ -972,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 from quichash_ray.pipelines.derived import (  # noqa: E402
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
+    INCREMENTAL_NEW_SQL,
     LINE_PLANTED_SQL,
     MIXED_VERIFY_SCENARIO_SQL,
     PII_PLANTED_SQL,
@@ -983,6 +1002,20 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # tiered incremental dedup: dup/novel by actual digest membership
+        # against the old corpus (both sides decide by sha256 equality, not
+        # by the scenario's mutation rule)
+        "incremental_dedup": f"""
+            WITH {INCREMENTAL_NEW_SQL.strip().rstrip()},
+            old AS (
+              SELECT DISTINCT sha256(text) AS dg FROM documents
+              WHERE text IS NOT NULL
+            )
+            SELECT n.doc_id,
+                   CASE WHEN o.dg IS NOT NULL THEN 'dup'
+                        ELSE 'novel' END AS status
+            FROM nc n LEFT JOIN old o ON sha256(n.text) = o.dg
+        """,
         # repo-pair Jaccard over distinct file-digest sets; the df cap
         # (256) and the threshold use integer arithmetic on both sides so
         # the comparison is hash-exact

@@ -91,6 +91,7 @@ def run_suite() -> dict:
         "embedding_recall_report",
         "ivf_recall_report",
         "semantic_dedup",
+        "incremental_dedup",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -595,6 +595,40 @@ pp AS (
 """
 
 
+def incremental_new(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → NC: a deterministic "new crawl shard" for
+    :func:`quichash_ray.pipelines.incremental.incremental_dedup` — even
+    doc_ids keep their text verbatim (duplicates of the old corpus), odd
+    ids get ' ~fresh' appended (novel content). ``INCREMENTAL_NEW_SQL``
+    mirrors the rule literally; both sides then decide dup/novel by actual
+    digest membership, so the oracle checks the semantics, not the rule."""
+
+    def mutate(b: pa.Table) -> pa.Table:
+        fresh = pc.invert(_mod_eq(b["doc_id"], 2, 0))
+        text = pc.if_else(
+            fresh,
+            pc.binary_join_element_wise(
+                b[text_col], pa.scalar(" ~fresh"), pa.scalar("")
+            ),
+            b[text_col],
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return ds.map_batches(
+        mutate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+INCREMENTAL_NEW_SQL = """
+nc AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN text
+                ELSE text || ' ~fresh' END AS text
+    FROM documents
+)
+"""
+
+
 _BOILERPLATE = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"
 _NEWSLETTER = "subscribe to our newsletter for updates"
 
