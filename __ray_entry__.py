@@ -934,6 +934,25 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup(new, old, tier="bloom")
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """MOSS winnowing (Schleimer et al. 2003): token-3-gram md5 hashes,
+    window-4 robust winnowing (min hash, rightmost tie) — the code-clone
+    fingerprint table over the clone-planted corpus."""
+    from quichash_ray.pipelines.derived import clone_planted
+    from quichash_ray.pipelines.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(clone_planted(_docs(sf_dir)), k=3, w=4)
+
+
+def _q_clone_pairs(sf_dir: str):
+    """Clone-candidate pairs: documents sharing ≥2 winnowed fingerprints,
+    counted through the banded inverted-index exchange."""
+    from quichash_ray.pipelines.derived import clone_planted
+    from quichash_ray.pipelines.winnow import clone_pairs
+
+    return clone_pairs(clone_planted(_docs(sf_dir)), k=3, w=4, min_shared=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -980,6 +999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "semantic_dedup": _q_semantic_dedup,
         "incremental_dedup": _q_incremental_dedup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "clone_pairs": _q_clone_pairs,
     }
 
 
@@ -988,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 from quichash_ray.pipelines.derived import (  # noqa: E402
+    CLONE_PLANTED_SQL,
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
     INCREMENTAL_NEW_SQL,
@@ -1000,8 +1022,64 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
 )
 
 
+# winnowing CTE chain shared by the two clone-detection oracles: token
+# 3-grams (md5 hex), window-4 robust winnowing realized as the min of the
+# 39-char combined key hex || zfill7(9999999 - i) per window (lexicographic
+# hex order == numeric; inverted position suffix → rightmost tie), DISTINCT
+# (pos, fp) per doc — the literal mirror of pipelines/winnow.py.
+_WINNOW_FPS_SQL = r"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM cp
+  WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT t.doc_id, g.i,
+         md5(array_to_string(t.tk[g.i + 1 : g.i + 3], ' ')) AS h
+  FROM toks t,
+       LATERAL (SELECT unnest(generate_series(0, len(t.tk) - 3)) AS i) g
+),
+nstats AS (SELECT doc_id, len(tk) - 2 AS n FROM toks WHERE len(tk) >= 3),
+starts AS (
+  SELECT n.doc_id, s.s
+  FROM nstats n,
+       LATERAL (
+         SELECT unnest(generate_series(0, greatest(0, n.n - 4))) AS s
+       ) s
+),
+sel AS (
+  SELECT g.doc_id, st.s,
+         min(g.h || lpad(CAST(9999999 - g.i AS VARCHAR), 7, '0')) AS c
+  FROM starts st
+  JOIN grams g ON g.doc_id = st.doc_id AND g.i >= st.s AND g.i < st.s + 4
+  GROUP BY g.doc_id, st.s
+),
+wfps AS (
+  SELECT DISTINCT doc_id,
+         CAST(9999999 - CAST(c[33:] AS INT) AS BIGINT) AS pos,
+         c[1:32] AS fp
+  FROM sel
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # MOSS winnowing fingerprint table (k=3 token grams, w=4 windows)
+        "winnow_fingerprints": f"""
+            WITH {CLONE_PLANTED_SQL.strip().rstrip()},
+            {_WINNOW_FPS_SQL.strip().rstrip()}
+            SELECT doc_id, pos, fp FROM wfps
+        """,
+        # clone candidates: pairs sharing >= 2 winnowed fingerprints
+        "clone_pairs": f"""
+            WITH {CLONE_PLANTED_SQL.strip().rstrip()},
+            {_WINNOW_FPS_SQL.strip().rstrip()},
+            fpd AS (SELECT DISTINCT doc_id, fp FROM wfps)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS shared
+            FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
         # tiered incremental dedup: dup/novel by actual digest membership
         # against the old corpus (both sides decide by sha256 equality, not
         # by the scenario's mutation rule)

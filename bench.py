@@ -92,6 +92,7 @@ def run_suite() -> dict:
         "ivf_recall_report",
         "semantic_dedup",
         "incremental_dedup",
+        "clone_pairs",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

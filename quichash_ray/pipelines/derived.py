@@ -629,6 +629,48 @@ nc AS (
 """
 
 
+def clone_planted(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → CP: every doc plus, for doc_id%6==0, a partial clone
+    (id + 1000000) with a planted preamble prepended — the clone shares
+    every interior token k-gram with its source while its head grams
+    differ, the winnowing detector's target shape. ``CLONE_PLANTED_SQL``
+    is the literal mirror."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        base = pa.table({"doc_id": b["doc_id"], "text": b[text_col]})
+        cl = b.filter(_mod_eq(b["doc_id"], 6, 0))
+        if cl.num_rows == 0:
+            return base
+        import pyarrow.compute as _pc
+
+        clone = pa.table(
+            {
+                "doc_id": _pc.add(cl["doc_id"], pa.scalar(1000000, pa.int64())),
+                "text": _pc.binary_join_element_wise(
+                    pa.scalar("intro preamble tokens here"),
+                    cl[text_col],
+                    pa.scalar(" "),
+                ),
+            }
+        )
+        return pa.concat_tables([base, clone])
+
+    return ds.map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+CLONE_PLANTED_SQL = """
+cp AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           'intro preamble tokens here ' || text
+    FROM documents WHERE doc_id % 6 = 0
+)
+"""
+
+
 _BOILERPLATE = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"
 _NEWSLETTER = "subscribe to our newsletter for updates"
 
