@@ -934,6 +934,15 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup(new, old, tier="bloom")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence-packing plan: global token offsets (distributed
+    exclusive prefix sum over the id-sorted token stream) and the ctx=512
+    windows each document spans."""
+    from quichash_ray.pipelines.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), ctx_len=512)
+
+
 def _q_winnow_fingerprints(sf_dir: str):
     """MOSS winnowing (Schleimer et al. 2003): token-3-gram md5 hashes,
     window-4 robust winnowing (min hash, rightmost tie) — the code-clone
@@ -1001,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "clone_pairs": _q_clone_pairs,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1079,6 +1089,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS shared
             FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # sequence-packing plan: window cumsum mirrors the distributed
+        # exclusive prefix sum; all-integer columns
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+              FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS start_tok
+              FROM t WHERE n_tokens >= 1
+            )
+            SELECT doc_id, n_tokens, start_tok,
+                   (start_tok // 512)::BIGINT AS first_seq,
+                   ((start_tok + n_tokens - 1) // 512)::BIGINT AS last_seq,
+                   ((start_tok + n_tokens - 1) // 512
+                    - start_tok // 512 + 1)::BIGINT AS n_seqs
+            FROM c
         """,
         # tiered incremental dedup: dup/novel by actual digest membership
         # against the old corpus (both sides decide by sha256 equality, not

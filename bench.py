@@ -93,6 +93,7 @@ def run_suite() -> dict:
         "semantic_dedup",
         "incremental_dedup",
         "clone_pairs",
+        "pack_sequences",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs
