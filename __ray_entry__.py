@@ -233,6 +233,20 @@ def _q_ngram_jaccard(sf_dir: str):
     )
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup: pairs where the smaller doc's 5-gram set is
+    ≥4/5 contained in the other — run over the clone-planted corpus so
+    the planted preamble-clones (full containment, diluted Jaccard) are
+    the designed hits. gram_cap=None for the uncapped oracle config."""
+    from quichash_ray.pipelines.derived import clone_planted
+    from quichash_ray.pipelines.ngram import containment_pairs
+
+    return containment_pairs(
+        clone_planted(_docs(sf_dir)), k=5, threshold_num=4,
+        threshold_den=5, gram_cap=None,
+    )
+
+
 def _q_knn_topk(sf_dir: str):
     from quichash_ray.pipelines.similarity import knn_topk
 
@@ -934,6 +948,15 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup(new, old, tier="bloom")
 
 
+def _q_comment_scrub(sf_dir: str):
+    """Code-comment analysis/stripping: block → // → # staged RE2 removal
+    with per-style counts; engine and oracle share the patterns."""
+    from quichash_ray.pipelines.codeclean import comment_scrub
+    from quichash_ray.pipelines.derived import code_planted
+
+    return comment_scrub(code_planted(_docs(sf_dir)))
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence-packing plan: global token offsets (distributed
     exclusive prefix sum over the id-sorted token stream) and the ctx=512
@@ -954,12 +977,20 @@ def _q_winnow_fingerprints(sf_dir: str):
 
 
 def _q_clone_pairs(sf_dir: str):
-    """Clone-candidate pairs: documents sharing ≥2 winnowed fingerprints,
-    counted through the banded inverted-index exchange."""
+    """Clone-candidate pairs: documents sharing ≥2 winnowed k=5-gram
+    fingerprints, counted through the banded inverted-index exchange.
+    k=5 + fp_cap=64 because the synthetic docs draw from a ~30-word
+    vocabulary: 3-gram fingerprints collide across thousands of docs at
+    sf0.1 and the coincidental pair set goes quadratic; 5-grams keep the
+    planted clones' long shared runs (df≈2, under any cap) while the df
+    cap meters out the word-salad hot spots — mirrored exactly in the
+    oracle (as repo_neardup does)."""
     from quichash_ray.pipelines.derived import clone_planted
     from quichash_ray.pipelines.winnow import clone_pairs
 
-    return clone_pairs(clone_planted(_docs(sf_dir)), k=3, w=4, min_shared=2)
+    return clone_pairs(
+        clone_planted(_docs(sf_dir)), k=5, w=4, min_shared=2, fp_cap=64
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1011,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "clone_pairs": _q_clone_pairs,
         "pack_sequences": _q_pack_sequences,
+        "comment_scrub": _q_comment_scrub,
+        "containment_pairs": _q_containment_pairs,
     }
 
 
@@ -1020,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 from quichash_ray.pipelines.derived import (  # noqa: E402
     CLONE_PLANTED_SQL,
+    CODE_PLANTED_SQL,
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
     INCREMENTAL_NEW_SQL,
@@ -1032,35 +1066,38 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
 )
 
 
-# winnowing CTE chain shared by the two clone-detection oracles: token
-# 3-grams (md5 hex), window-4 robust winnowing realized as the min of the
+# winnowing CTE chain shared by the clone-detection oracles: token
+# k-grams (md5 hex), window-w robust winnowing realized as the min of the
 # 39-char combined key hex || zfill7(9999999 - i) per window (lexicographic
 # hex order == numeric; inverted position suffix → rightmost tie), DISTINCT
 # (pos, fp) per doc — the literal mirror of pipelines/winnow.py.
-_WINNOW_FPS_SQL = r"""
+def _winnow_fps_sql(k: int, w: int) -> str:
+    return rf"""
 toks AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM cp
   WHERE text IS NOT NULL
 ),
 grams AS (
   SELECT t.doc_id, g.i,
-         md5(array_to_string(t.tk[g.i + 1 : g.i + 3], ' ')) AS h
+         md5(array_to_string(t.tk[g.i + 1 : g.i + {k}], ' ')) AS h
   FROM toks t,
-       LATERAL (SELECT unnest(generate_series(0, len(t.tk) - 3)) AS i) g
+       LATERAL (SELECT unnest(generate_series(0, len(t.tk) - {k})) AS i) g
 ),
-nstats AS (SELECT doc_id, len(tk) - 2 AS n FROM toks WHERE len(tk) >= 3),
+nstats AS (
+  SELECT doc_id, len(tk) - {k - 1} AS n FROM toks WHERE len(tk) >= {k}
+),
 starts AS (
   SELECT n.doc_id, s.s
   FROM nstats n,
        LATERAL (
-         SELECT unnest(generate_series(0, greatest(0, n.n - 4))) AS s
+         SELECT unnest(generate_series(0, greatest(0, n.n - {w}))) AS s
        ) s
 ),
 sel AS (
   SELECT g.doc_id, st.s,
          min(g.h || lpad(CAST(9999999 - g.i AS VARCHAR), 7, '0')) AS c
   FROM starts st
-  JOIN grams g ON g.doc_id = st.doc_id AND g.i >= st.s AND g.i < st.s + 4
+  JOIN grams g ON g.doc_id = st.doc_id AND g.i >= st.s AND g.i < st.s + {w}
   GROUP BY g.doc_id, st.s
 ),
 wfps AS (
@@ -1077,18 +1114,57 @@ def oracle_sql() -> dict[str, str]:
         # MOSS winnowing fingerprint table (k=3 token grams, w=4 windows)
         "winnow_fingerprints": f"""
             WITH {CLONE_PLANTED_SQL.strip().rstrip()},
-            {_WINNOW_FPS_SQL.strip().rstrip()}
+            {_winnow_fps_sql(3, 4).strip().rstrip()}
             SELECT doc_id, pos, fp FROM wfps
         """,
-        # clone candidates: pairs sharing >= 2 winnowed fingerprints
+        # clone candidates: pairs sharing >= 2 winnowed k=5 fingerprints;
+        # fingerprints hotter than df 64 dropped on BOTH sides (the
+        # engine meters the drop, the CTE mirrors it)
         "clone_pairs": f"""
             WITH {CLONE_PLANTED_SQL.strip().rstrip()},
-            {_WINNOW_FPS_SQL.strip().rstrip()},
-            fpd AS (SELECT DISTINCT doc_id, fp FROM wfps)
+            {_winnow_fps_sql(5, 4).strip().rstrip()},
+            fpd AS (SELECT DISTINCT doc_id, fp FROM wfps),
+            dfc AS (SELECT fp, count(*) AS c FROM fpd GROUP BY fp),
+            fpk AS (
+              SELECT fpd.doc_id, fpd.fp FROM fpd
+              JOIN dfc ON dfc.fp = fpd.fp WHERE dfc.c <= 64
+            )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    count(*)::BIGINT AS shared
-            FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # staged comment stripping: block -> // -> #, counts taken on the
+        # previous stage's stripped text; comment_chars telescopes to
+        # len(text) - len(clean)
+        "comment_scrub": f"""
+            WITH {CODE_PLANTED_SQL.strip().rstrip()},
+            s1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '/\\*([^*]|\\*+[^*/])*\\*+/', '', 'g') AS t1,
+                     len(regexp_extract_all(text,
+                       '/\\*([^*]|\\*+[^*/])*\\*+/')) AS n_block
+              FROM cpd
+            ),
+            s2 AS (
+              SELECT *, regexp_replace(t1, '//[^\n]*', '', 'g') AS t2,
+                     len(regexp_extract_all(t1, '//[^\n]*')) AS n_line
+              FROM s1
+            ),
+            s3 AS (
+              SELECT *, regexp_replace(t2, '#[^\n]*', '', 'g') AS t3,
+                     len(regexp_extract_all(t2, '#[^\n]*')) AS n_hash
+              FROM s2
+            )
+            SELECT doc_id,
+                   COALESCE(n_block, 0)::BIGINT AS n_block,
+                   COALESCE(n_line, 0)::BIGINT AS n_line,
+                   COALESCE(n_hash, 0)::BIGINT AS n_hash,
+                   COALESCE(length(text) - length(t3), 0)::BIGINT
+                       AS comment_chars,
+                   t3 AS clean_text
+            FROM s3
         """,
         # sequence-packing plan: window cumsum mirrors the distributed
         # exclusive prefix sum; all-integer columns
@@ -1550,6 +1626,39 @@ def oracle_sql() -> dict[str, str]:
                    WHERE t.fp = md5(trim(regexp_replace(lower(d.text),
                                                         '\s+', ' ', 'g')))
                )
+        """,
+        # containment over the clone-planted corpus: q*shared >= p*min
+        "containment_pairs": f"""
+            WITH {CLONE_PLANTED_SQL.strip().rstrip()},
+            toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+                FROM cp
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 3, 1))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4] AS g
+                FROM idx
+            ),
+            totals AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*)::BIGINT AS shared
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b, p.shared,
+                   ta.n::BIGINT AS n_a, tb.n::BIGINT AS n_b
+            FROM pairs p
+            JOIN totals ta ON ta.doc_id = p.id_a
+            JOIN totals tb ON tb.doc_id = p.id_b
+            WHERE 5 * p.shared >= 4 * least(ta.n, tb.n)
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

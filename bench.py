@@ -94,6 +94,8 @@ def run_suite() -> dict:
         "incremental_dedup",
         "clone_pairs",
         "pack_sequences",
+        "comment_scrub",
+        "containment_pairs",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

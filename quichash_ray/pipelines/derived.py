@@ -671,6 +671,58 @@ cp AS (
 """
 
 
+def code_planted(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → CPD: deterministic comment-laden code suffixes for
+    :func:`quichash_ray.pipelines.codeclean.comment_scrub` — a block
+    comment on doc_id%2==0, a ``//`` line comment on %3==0, a ``#`` line
+    comment on %5==0. ``CODE_PLANTED_SQL`` mirrors every rule literally."""
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b[text_col].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if t is None:
+                out.append(None)
+                continue
+            if i % 2 == 0:
+                t += f"\nint x = {i}; /* block\nnote {i} */ return x;"
+            if i % 3 == 0:
+                t += f"\nlet y = {i}; // line note {i}"
+            if i % 5 == 0:
+                t += f"\nvalue: {i}  # hash note {i}"
+            out.append(t)
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    return ds.map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+CODE_PLANTED_SQL = """
+cpd AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'int x = ' || doc_id || '; /* block'
+                     || chr(10) || 'note ' || doc_id || ' */ return x;'
+                ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN chr(10) || 'let y = ' || doc_id || '; // line note '
+                     || doc_id
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'value: ' || doc_id || '  # hash note '
+                     || doc_id
+                ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+
 _BOILERPLATE = "COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED"
 _NEWSLETTER = "subscribe to our newsletter for updates"
 

@@ -188,6 +188,87 @@ def candidate_pair_counts(
     )
 
 
+def _pairs_with_totals(
+    ds: Dataset,
+    k: int,
+    id_col: str,
+    text_col: str,
+    gram_cap: int | None,
+    num_partitions: int,
+) -> Dataset:
+    """shared machinery of the pair detectors: shingles → candidate pair
+    counts → per-doc totals attached as n_a / n_b (broadcast↔join via
+    attach_lookup, never a driver dict)."""
+    from quichash_ray.stages.lookup import attach_lookup
+
+    shingles = shingle_table(ds, k, id_col, text_col)
+    totals = gram_totals(shingles, id_col)
+    counts = candidate_pair_counts(shingles, id_col, gram_cap)
+
+    j1 = attach_lookup(
+        counts,
+        totals,
+        key_col="id_a",
+        value_col="n_grams",
+        out_col="n_a",
+        key_col_in_mapping=id_col,
+        num_partitions=num_partitions,
+    )
+    return attach_lookup(
+        j1,
+        totals,
+        key_col="id_b",
+        value_col="n_grams",
+        out_col="n_b",
+        key_col_in_mapping=id_col,
+        num_partitions=num_partitions,
+    )
+
+
+def containment_pairs(
+    ds: Dataset,
+    k: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_cap: int | None = 256,
+    num_partitions: int = 16,
+) -> Dataset:
+    """→ (id_a, id_b, shared, n_a, n_b) for pairs where the SMALLER doc's
+    gram set is ≥ p/q contained in the other: shared / min(n_a, n_b) ≥
+    p/q ⇔ q·shared ≥ p·min(n_a, n_b), evaluated in int64 on both engine
+    and oracle. Catches subset duplication (a file embedded in a larger
+    one) that symmetric Jaccard dilutes below its threshold."""
+    p, q = threshold_num, threshold_den
+    j2 = _pairs_with_totals(
+        ds, k, id_col, text_col, gram_cap, num_partitions
+    )
+
+    def flt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shared = pc.cast(b["shared"], pa.int64())
+        na = pc.cast(b["n_a"], pa.int64())
+        nb = pc.cast(b["n_b"], pa.int64())
+        lhs = pc.multiply(pa.scalar(q, pa.int64()), shared)
+        rhs = pc.multiply(
+            pa.scalar(p, pa.int64()), pc.min_element_wise(na, nb)
+        )
+        out = pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "shared": shared,
+                "n_a": na,
+                "n_b": nb,
+            }
+        )
+        return out.filter(pc.greater_equal(lhs, rhs))
+
+    return j2.map_batches(flt, batch_format="pyarrow", batch_size=None)
+
+
 def jaccard_pairs(
     ds: Dataset,
     k: int = 5,
@@ -207,31 +288,9 @@ def jaccard_pairs(
     arrays broadcast once below its limit, a hash-shuffle ``Dataset.join``
     above it (the 10^8+-doc path); never a driver-side per-row dict.
     """
-    from quichash_ray.stages.lookup import attach_lookup
-
-    shingles = shingle_table(ds, k, id_col, text_col)
-    totals = gram_totals(shingles, id_col)
-    counts = candidate_pair_counts(shingles, id_col, gram_cap)
-
-    j1 = attach_lookup(
-        counts,
-        totals,
-        key_col="id_a",
-        value_col="n_grams",
-        out_col="n_a",
-        key_col_in_mapping=id_col,
-        num_partitions=num_partitions,
+    j2 = _pairs_with_totals(
+        ds, k, id_col, text_col, gram_cap, num_partitions
     )
-    j2 = attach_lookup(
-        j1,
-        totals,
-        key_col="id_b",
-        value_col="n_grams",
-        out_col="n_b",
-        key_col_in_mapping=id_col,
-        num_partitions=num_partitions,
-    )
-
     p, q = threshold_num, threshold_den
 
     def flt(b: pa.Table) -> pa.Table:
