@@ -23,6 +23,15 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Keep idle Python workers alive across the query sweep. Ray's default
+# ~1 s idle reaping makes every query respawn its worker pool; on the
+# bench VM a fresh worker's numpy import + first-touch page faults are
+# intermittently 100x slower than warm (host-side fault handling also
+# serializes concurrent cold workers), which added a multi-second floor
+# to every query and 5-10x to the verify-heavy ones. Must be set before
+# the first ray.init in this process; setdefault so callers can override.
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+
 # headline corpus size by sf tier (generation is cached in /tmp, not timed)
 _CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 200000}
 

@@ -170,10 +170,16 @@ def cosine_neardup_pairs(
             ids_a, am = ray.get(ref)  # zero-copy same-node
             if len(ids_a) == 0:
                 continue
+            buf = _VERIFY_SCRATCH.get("mm")
+            if buf is None or buf.shape[0] < len(ids_a):
+                buf = np.empty((len(ids_a), strip), np.float64)
+                _VERIFY_SCRATCH["mm"] = buf
             for s in range(0, len(vids), strip):
                 vs = vecs[s : s + strip]
                 vi = vids[s : s + strip]
-                sims = am @ vs.T  # (a, ≤strip)
+                sims = np.matmul(
+                    am, vs.T, out=buf[: len(ids_a), : len(vi)]
+                )
                 hit_a, hit_b = np.nonzero(
                     (sims >= threshold) & (ids_a[:, None] < vi[None, :])
                 )
@@ -194,6 +200,35 @@ def cosine_neardup_pairs(
 
 
 _PLANE_CACHE: dict[tuple, np.ndarray] = {}
+
+# per-worker scratch for the pair-verify gathers: allocating two fresh
+# |pairs|×d float64 arrays per block re-pays the host's first-touch
+# page-fault cost on every task (measured on the bench VM: intermittent
+# ~90 µs/page storms — 17 s for a 184 MB gather that computes in 30 ms
+# warm). Reusing bounded buffers pays it once per worker process.
+_VERIFY_SCRATCH: dict[tuple, np.ndarray] = {}
+_VERIFY_STRIDE = 65536
+
+
+def _pair_sims(m_a, ia, m_b, ib) -> np.ndarray:
+    """cosine dot products m_a[ia[i]] · m_b[ib[i]] per pair, chunked
+    through per-worker scratch buffers (see _VERIFY_SCRATCH note)."""
+    d = m_a.shape[1]
+    ka = _VERIFY_SCRATCH.setdefault(
+        ("a", d), np.empty((_VERIFY_STRIDE, d), np.float64)
+    )
+    kb = _VERIFY_SCRATCH.setdefault(
+        ("b", d), np.empty((_VERIFY_STRIDE, d), np.float64)
+    )
+    out = np.empty(len(ia), np.float64)
+    for s in range(0, len(ia), _VERIFY_STRIDE):
+        e = min(s + _VERIFY_STRIDE, len(ia))
+        n = e - s
+        np.take(m_a, ia[s:e], axis=0, out=ka[:n])
+        np.take(m_b, ib[s:e], axis=0, out=kb[:n])
+        np.multiply(ka[:n], kb[:n], out=ka[:n])
+        out[s:e] = ka[:n].sum(axis=1)
+    return out
 
 
 def _band_planes(
@@ -450,7 +485,7 @@ def _exact_verify_pairs(
             bb = np.asarray(b["id_b"], np.int64)
             ia = np.searchsorted(ids_s, a)
             ib = np.searchsorted(ids_s, bb)
-            sims = np.einsum("ij,ij->i", m[ia], m[ib])
+            sims = _pair_sims(m, ia, m, ib)
             hit = sims >= threshold
             return pa.table(
                 {
@@ -487,7 +522,8 @@ def _exact_verify_pairs(
         d = int(oa[1] - oa[0]) // 8
         ma = va[oa[0] : oa[-1]].view(np.float64).reshape(-1, d)
         mb = vb[ob[0] : ob[-1]].view(np.float64).reshape(-1, d)
-        sims = np.einsum("ij,ij->i", ma, mb)
+        idx = np.arange(len(ma), dtype=np.int64)
+        sims = _pair_sims(ma, idx, mb, idx)
         hit = sims >= threshold
         return pa.table(
             {

@@ -2,7 +2,15 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
+
+# keep idle Ray workers alive across the session's many small pipelines —
+# see the matching note in bench.py (worker respawn pays numpy import +
+# first-touch page faults per query; intermittently pathological on the
+# bench VM)
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
 
 
 @pytest.fixture(scope="session")
