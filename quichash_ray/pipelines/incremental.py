@@ -203,6 +203,7 @@ def incremental_dedup(
     bits_per_key: int = 16,
     num_hashes: int = 7,
     positive_broadcast_limit: int = 5_000_000,
+    num_parts: int | None = None,
 ) -> Dataset:
     """Classify new rows against the old corpus digest table.
 
@@ -230,7 +231,7 @@ def incremental_dedup(
 
     if tier == "join":
         return _incremental_join(
-            new, old_digests, text_col, id_col, digest_col, emit
+            new, old_digests, text_col, id_col, digest_col, emit, num_parts
         )
     if tier == "broadcast":
         confirmed = _old_raw_sorted(old_digests, digest_col)
@@ -268,7 +269,7 @@ def incremental_dedup(
     if positives.count() > positive_broadcast_limit:
         # FP blowup or dup-heavy shard: fall to the always-works join tier
         return _incremental_join(
-            new, old_digests, text_col, id_col, digest_col, emit
+            new, old_digests, text_col, id_col, digest_col, emit, num_parts
         )
 
     pos_parts = [
@@ -382,6 +383,7 @@ def _incremental_join(
     id_col: str,
     digest_col: str,
     emit: str,
+    num_parts: int | None = None,
 ) -> Dataset:
     """Giant-old tier: co-partitioned raw-digest join, nothing broadcast.
 
@@ -389,15 +391,21 @@ def _incremental_join(
     ``emit="novel"`` the new side carries its full row so the surviving
     rows come straight out of the exchange (content rides exactly once,
     the unavoidable minimum for a row-preserving filter). Partitioned on
-    the digest's leading 8 bytes (cryptographic ⇒ uniform)."""
+    the digest's leading 8 bytes (cryptographic ⇒ uniform).
+
+    ``num_parts``: pass explicitly for a huge derived ``new`` — the
+    default sizes partitions from ``new.count()``, which executes the
+    plan once extra (metadata-cheap for parquet-backed inputs, a full
+    pass for derived ones; it is NOT materialized — a 100-TB shard must
+    never take plasma residency just to be counted)."""
     from quichash_ray.stages.exchange import hash_exchange
     from quichash_ray.stages.partitioning import choose_num_parts
 
-    new = new.materialize()
-    num_parts = choose_num_parts(
-        new.count() + old_digests.count(), bytes_per_row=96,
-        target_bytes=64 << 20,
-    )
+    if num_parts is None:
+        num_parts = choose_num_parts(
+            new.count() + old_digests.count(), bytes_per_row=96,
+            target_bytes=64 << 20,
+        )
     P = np.uint64(num_parts)
 
     def _part_of(raw: np.ndarray) -> np.ndarray:
