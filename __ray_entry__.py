@@ -948,6 +948,18 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup(new, old, tier="bloom")
 
 
+def _q_ngram_decontaminate(sf_dir: str):
+    """GPT-3-style 13-gram overlap decontamination: train docs sharing
+    any 13-token-gram with the quote-planted eval corpus, with distinct
+    shared-gram counts. Broadcast tier here; the co-partitioned join
+    tier is equivalence-tested in tests/test_ngram_decontam.py."""
+    from quichash_ray.pipelines.decontam import ngram_decontaminate
+    from quichash_ray.pipelines.derived import quote_eval
+
+    docs = _docs(sf_dir)
+    return ngram_decontaminate(docs, quote_eval(docs), k=13)
+
+
 def _q_comment_scrub(sf_dir: str):
     """Code-comment analysis/stripping: block → // → # staged RE2 removal
     with per-style counts; engine and oracle share the patterns."""
@@ -1044,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "comment_scrub": _q_comment_scrub,
         "containment_pairs": _q_containment_pairs,
+        "ngram_decontaminate": _q_ngram_decontaminate,
     }
 
 
@@ -1060,6 +1073,7 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
     LINE_PLANTED_SQL,
     MIXED_VERIFY_SCENARIO_SQL,
     PII_PLANTED_SQL,
+    QUOTE_EVAL_SQL,
     REPO_FORKED_SQL,
     REPO_HISTORY_SQL,
     VERIFY_SCENARIO_SQL,
@@ -1133,6 +1147,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS shared
             FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # 13-gram overlap decontamination vs the quote-planted eval set:
+        # distinct shared-gram counts per contaminated train doc
+        "ngram_decontaminate": f"""
+            WITH {QUOTE_EVAL_SQL.strip().rstrip()},
+            ttk AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tg AS (
+              SELECT DISTINCT t.doc_id,
+                     md5(array_to_string(t.tk[g.i+1 : g.i+13], ' ')) AS h
+              FROM ttk t,
+                   LATERAL (
+                     SELECT unnest(generate_series(0, len(t.tk)-13)) AS i
+                   ) g
+            ),
+            etk AS (
+              SELECT regexp_extract_all(text, '\\S+') AS tk FROM qe
+            ),
+            eg AS (
+              SELECT DISTINCT
+                     md5(array_to_string(e.tk[g.i+1 : g.i+13], ' ')) AS h
+              FROM etk e,
+                   LATERAL (
+                     SELECT unnest(generate_series(0, len(e.tk)-13)) AS i
+                   ) g
+            )
+            SELECT tg.doc_id, count(*)::BIGINT AS n_shared
+            FROM tg JOIN eg USING (h) GROUP BY tg.doc_id
         """,
         # staged comment stripping: block -> // -> #, counts taken on the
         # previous stage's stripped text; comment_chars telescopes to

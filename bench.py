@@ -105,6 +105,7 @@ def run_suite() -> dict:
         "pack_sequences",
         "comment_scrub",
         "containment_pairs",
+        "ngram_decontaminate",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -131,6 +131,253 @@ def decontaminate(
     )
 
 
+_NGRAM_TOKEN_RE = None  # compiled lazily per worker
+
+
+def _doc_gram_hashes(text: str, k: int) -> "np.ndarray":
+    """distinct md5 raw digests ('S16') of the k-token-grams of one doc."""
+    global _NGRAM_TOKEN_RE
+    if _NGRAM_TOKEN_RE is None:
+        import re
+
+        _NGRAM_TOKEN_RE = re.compile(r"\S+")
+    toks = _NGRAM_TOKEN_RE.findall(text)
+    n = len(toks) - k + 1
+    if n <= 0:
+        return np.empty(0, "S16")
+    return np.unique(
+        np.frombuffer(
+            b"".join(
+                hashlib.md5(
+                    " ".join(toks[i : i + k]).encode("utf-8")
+                ).digest()
+                for i in range(n)
+            ),
+            "S16",
+        )
+    )
+
+
+def ngram_decontaminate(
+    train: Dataset,
+    test: Dataset,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 50_000_000,
+) -> Dataset:
+    """GPT-3-style n-gram overlap decontamination: a training document is
+    contaminated if it shares ANY k-token-gram with the eval corpus —
+    the quote-level tier the exact/fingerprint tiers miss (an eval
+    passage embedded inside a larger training doc). → (id, n_shared):
+    contaminated train docs with their DISTINCT shared-gram counts.
+
+    Tiers, same discipline as :func:`decontaminate`: the eval gram-hash
+    set (md5 raw, 16 B/gram) broadcasts once while it fits
+    ``broadcast_limit`` grams — train streams with zero shuffles; above
+    the limit a co-partitioned (gram, kind) join decides membership per
+    partition and per-doc counts reduce through one id-keyed exchange
+    (each distinct (doc, gram) row lands in exactly one gram partition,
+    so summed partials equal the distinct shared count). Both tiers
+    equivalence-tested.
+    """
+    import ray
+
+    test = test.materialize()
+
+    @ray.remote
+    def block_grams(t: pa.Table) -> np.ndarray:
+        parts = [
+            _doc_gram_hashes(txt, k)
+            for txt in t[text_col].to_pylist()
+            if txt is not None
+        ]
+        return (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, "S16")
+        )
+
+    gram_parts = ray.get(
+        [block_grams.remote(r) for r in test.to_arrow_refs()]
+    )
+    eval_grams = (
+        np.unique(np.concatenate(gram_parts))
+        if gram_parts
+        else np.empty(0, "S16")
+    )
+    if len(eval_grams) > broadcast_limit:
+        return _ngram_decontaminate_join(
+            train, test, k, text_col, id_col
+        )
+    gram_ref = ray.put(eval_grams)
+
+    def classify(b: pa.Table) -> pa.Table:
+        from quichash_ray.stages.broadcast import cached_get
+
+        grams = cached_get(gram_ref)
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_n = [], []
+        for rid, txt in zip(ids, texts):
+            if txt is None or not len(grams):
+                continue
+            g = _doc_gram_hashes(txt, k)
+            if not len(g):
+                continue
+            pos = np.clip(np.searchsorted(grams, g), 0, len(grams) - 1)
+            n_shared = int((grams[pos] == g).sum())
+            if n_shared:
+                out_id.append(rid)
+                out_n.append(n_shared)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "n_shared": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return train.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def _ngram_decontaminate_join(
+    train: Dataset,
+    test: Dataset,
+    k: int,
+    text_col: str,
+    id_col: str,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Giant-eval tier for :func:`ngram_decontaminate`: co-partitioned
+    gram join + per-doc count reduction, nothing broadcast."""
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import choose_num_parts
+
+    if num_parts is None:
+        num_parts = choose_num_parts(
+            train.count() + test.count(), bytes_per_row=512,
+            target_bytes=64 << 20,
+        )
+    P = np.uint64(num_parts)
+
+    def emit(b: pa.Table, kind: int) -> pa.Table:
+        ids = b[id_col].to_pylist() if kind == 1 else [None] * b.num_rows
+        texts = b[text_col].to_pylist()
+        out_g, out_id = [], []
+        for rid, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            g = _doc_gram_hashes(txt, k)
+            out_g.append(g)
+            out_id.append(np.full(len(g), rid if rid is not None else 0, np.int64))
+        if not out_g:
+            return pa.table(
+                {
+                    "gram": pa.nulls(0, pa.binary(16)),
+                    "rid": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int8()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        grams = np.concatenate(out_g)
+        rids = np.concatenate(out_id)
+        lead = np.ascontiguousarray(
+            grams.view(np.uint8).reshape(-1, 16)[:, :8]
+        ).view(np.uint64).reshape(-1)
+        # NB: grams[i].tobytes() would strip trailing NULs ('S' dtype
+        # semantics) — build the fixed-width column from the raw buffer
+        gram_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(16), len(grams), [None, pa.py_buffer(grams.tobytes())]
+        )
+        return pa.table(
+            {
+                "gram": gram_col,
+                "rid": pa.array(rids),
+                "kind": pa.array(np.full(len(grams), kind, np.int8)),
+                "part": pa.array((lead % P).astype(np.int64)),
+            }
+        )
+
+    left = test.map_batches(
+        lambda b: emit(b, 0), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    right = train.map_batches(
+        lambda b: emit(b, 1), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def match(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"rid": pa.array([], pa.int64()), "partial": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0 or "kind" not in g.column_names:
+            return empty
+        kind = np.asarray(g["kind"], np.int8)
+        ev = g.filter(pa.array(kind == 0))
+        tr = g.filter(pa.array(kind == 1))
+        if ev.num_rows == 0 or tr.num_rows == 0:
+            return empty
+        eg = np.unique(
+            np.frombuffer(b"".join(ev["gram"].to_pylist()), "S16")
+        )
+        tg = np.frombuffer(b"".join(tr["gram"].to_pylist()), "S16")
+        pos = np.clip(np.searchsorted(eg, tg), 0, len(eg) - 1)
+        hit = eg[pos] == tg
+        rids = np.asarray(tr["rid"], np.int64)[hit]
+        if not len(rids):
+            return empty
+        uniq, cnt = np.unique(rids, return_counts=True)
+        return pa.table(
+            {
+                "rid": pa.array(uniq, pa.int64()),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    matched = hash_exchange([left, right], "part", match, num_parts)
+
+    def id_part(b: pa.Table) -> pa.Table:
+        rid = np.asarray(b["rid"], np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (rid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        return b.append_column(
+            "part", pa.array((part % np.uint64(num_parts)).astype(np.int64))
+        )
+
+    def reduce_counts(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0 or "rid" not in g.column_names:
+            return empty
+        rid = np.asarray(g["rid"], np.int64)
+        partial = np.asarray(g["partial"], np.int64)
+        order = np.argsort(rid, kind="stable")
+        rid, partial = rid[order], partial[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], rid[1:] != rid[:-1]))
+        )
+        sums = np.add.reduceat(partial, starts)
+        return pa.table(
+            {
+                id_col: pa.array(rid[starts], pa.int64()),
+                "n_shared": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    return hash_exchange(
+        matched.map_batches(
+            id_part, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "part",
+        reduce_counts,
+        num_parts,
+    )
+
+
 def _decontaminate_join(
     train: Dataset,
     test: Dataset,

@@ -629,6 +629,54 @@ nc AS (
 """
 
 
+def quote_eval(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → QE: an eval corpus of verbatim QUOTES — for docs with
+    doc_id%9==0 and ≥17 whitespace tokens, the 15-token slice
+    tokens[2:17] — the embedded-passage leakage shape that only
+    k-token-gram overlap decontamination catches (the exact and
+    normalized-fingerprint tiers see a different document).
+    ``QUOTE_EVAL_SQL`` mirrors the rule literally."""
+    import re
+
+    tok_re = re.compile(r"\S+")
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_t = [], []
+        for i, t in zip(ids, texts):
+            if t is None or i % 9 != 0:
+                continue
+            toks = tok_re.findall(t)
+            if len(toks) < 17:
+                continue
+            out_id.append(i)
+            out_t.append(" ".join(toks[2:17]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+QUOTE_EVAL_SQL = r"""
+qe AS (
+    SELECT doc_id,
+           array_to_string(
+             (regexp_extract_all(text, '\S+'))[3:17], ' '
+           ) AS text
+    FROM documents
+    WHERE doc_id % 9 = 0
+      AND len(regexp_extract_all(text, '\S+')) >= 17
+)
+"""
+
+
 def clone_planted(ds: Dataset, text_col: str = "text") -> Dataset:
     """documents → CP: every doc plus, for doc_id%6==0, a partial clone
     (id + 1000000) with a planted preamble prepended — the clone shares
