@@ -16,8 +16,9 @@ Order matters and is fixed: block comments are removed FIRST (a ``//``
 inside ``/* */`` must not split the block), then line comments. Counts
 are taken in the same staged order (line-comment counts on the
 block-stripped text). ``comment_chars`` is the total matched length in
-CHARACTERS (sum over extracted matches — DuckDB mirrors with
-``list_transform + strlen``... in codepoints via ``length``).
+codepoints, computed as len(text) − len(clean_text) — the stages only
+remove text, so the difference telescopes (DuckDB mirror:
+``length(text) - length(t3)``).
 
 Scale: one streaming pass, zero shuffles, zero state.
 """
@@ -40,22 +41,15 @@ def _count(text, pattern: str) -> pa.Array:
     return pc.cast(pc.coalesce(c, pa.scalar(0, c.type)), pa.int64())
 
 
-def _matched_chars(text, pattern: str) -> pa.Array:
-    """total codepoint length of all matches per row (null text → 0):
-    len(original) - len(original with matches removed)."""
-    stripped = pc.replace_substring_regex(text, pattern, "")
-    diff = pc.subtract(
-        pc.utf8_length(text), pc.utf8_length(stripped)
-    )
-    return pc.cast(pc.coalesce(diff, pa.scalar(0, diff.type)), pa.int64())
-
-
 def comment_scrub(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> Dataset:
     """→ (id, n_block, n_line, n_hash, comment_chars, clean_text):
     comment counts per style, total comment codepoints, and the
-    comment-stripped text (block → // → # staged removal)."""
+    comment-stripped text (block → // → # staged removal).
+    ``comment_chars`` telescopes: the stages only ever REMOVE text, so
+    the total matched length is len(text) − len(clean) — no extra regex
+    pass per pattern."""
 
     def kernel(b: pa.Table) -> pa.Table:
         text = (
@@ -64,22 +58,20 @@ def comment_scrub(
             else b[text_col]
         )
         n_block = _count(text, BLOCK_RE)
-        block_chars = _matched_chars(text, BLOCK_RE)
         after_block = pc.replace_substring_regex(text, BLOCK_RE, "")
         n_line = _count(after_block, LINE_RE)
-        line_chars = _matched_chars(after_block, LINE_RE)
         after_line = pc.replace_substring_regex(after_block, LINE_RE, "")
         n_hash = _count(after_line, HASH_RE)
-        hash_chars = _matched_chars(after_line, HASH_RE)
         clean = pc.replace_substring_regex(after_line, HASH_RE, "")
+        diff = pc.subtract(pc.utf8_length(text), pc.utf8_length(clean))
         return pa.table(
             {
                 id_col: b[id_col],
                 "n_block": n_block,
                 "n_line": n_line,
                 "n_hash": n_hash,
-                "comment_chars": pc.add(
-                    pc.add(block_chars, line_chars), hash_chars
+                "comment_chars": pc.cast(
+                    pc.coalesce(diff, pa.scalar(0, diff.type)), pa.int64()
                 ),
                 "clean_text": clean,
             }

@@ -196,18 +196,25 @@ def ngram_decontaminate(
             np.unique(np.concatenate(parts)) if parts else np.empty(0, "S16")
         )
 
-    gram_parts = ray.get(
-        [block_grams.remote(r) for r in test.to_arrow_refs()]
-    )
+    @ray.remote
+    def part_len(a: np.ndarray) -> int:
+        return len(a)
+
+    # the tier decision must NOT require driver-materializing the gram
+    # set it is deciding about: per-part counts are fetched remotely and
+    # their sum (an overestimate — cross-block dups counted twice, which
+    # only errs toward the always-works join tier) gates the broadcast
+    refs = [block_grams.remote(r) for r in test.to_arrow_refs()]
+    if sum(ray.get([part_len.remote(r) for r in refs])) > broadcast_limit:
+        return _ngram_decontaminate_join(
+            train, test, k, text_col, id_col
+        )
+    gram_parts = ray.get(refs)
     eval_grams = (
         np.unique(np.concatenate(gram_parts))
         if gram_parts
         else np.empty(0, "S16")
     )
-    if len(eval_grams) > broadcast_limit:
-        return _ngram_decontaminate_join(
-            train, test, k, text_col, id_col
-        )
     gram_ref = ray.put(eval_grams)
 
     def classify(b: pa.Table) -> pa.Table:

@@ -14,7 +14,9 @@ size, overridable with ``tier=``):
 
 1. ``broadcast`` (|old| ≤ broadcast_limit) — the sorted raw-digest array
    ships once via ``ray.put``; one streaming pass over new, no shuffle.
-2. ``bloom`` (|old| ≤ bloom_limit) — a Bloom bitmap over the old digests
+2. ``bloom`` (|old| ≤ bloom_limit, default (2^33 bits)/bits_per_key ≈
+   5.4e8 keys — the largest corpus the 1-GiB-capped bitmap serves at the
+   requested bits/key) — a Bloom bitmap over the old digests
    is built distributed (one partial bitmap per old block, tree OR-reduce)
    and broadcast once (m/8 bytes, ~2 B/key at the default 16 bits/key,
    k=7 ⇒ <1 % false positives). Bloom NEGATIVES are *exactly* novel (no
@@ -31,9 +33,11 @@ size, overridable with ``tier=``):
    decided per partition. Arbitrarily large both sides; volume = digest
    metadata only, content never rides.
 
-At 10^12-key old corpora the single broadcast bitmap itself outgrows a
-worker (⪆250 GB); that regime belongs to tier 3 (or a digest-prefix-
-sharded bloom, a straightforward extension) — hence ``bloom_limit``.
+Beyond ``bloom_limit`` keys the capped bitmap can no longer hold the
+requested bits/key (FP rate explodes, positives overflow, the bitmap
+becomes a pure cost) and at 10^12 keys an uncapped bitmap would outgrow
+a worker (⪆250 GB); both regimes belong to tier 3 (or a digest-prefix-
+sharded bloom, a straightforward extension).
 
 All three tiers are equivalence-tested; ``incremental_dedup`` output is
 identical under any ``tier=``.
@@ -101,16 +105,6 @@ def _text_digests(texts: list) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _set_bits(words: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, mask: np.uint64) -> None:
-    for i in range(k):
-        idx = (h1 + np.uint64(i) * h2) & mask
-        np.bitwise_or.at(
-            words,
-            (idx >> np.uint64(6)).astype(np.int64),
-            np.uint64(1) << (idx & np.uint64(63)),
-        )
-
-
 def _test_bits(words: np.ndarray, h1: np.ndarray, h2: np.ndarray, k: int, mask: np.uint64) -> np.ndarray:
     hit = np.ones(len(h1), bool)
     for i in range(k):
@@ -144,10 +138,13 @@ def build_bloom(
 ):
     """old digest table → (bitmap ObjectRef, m_bits, k).
 
-    One partial bitmap per old block (each task touches only its block),
-    OR-reduced in a fan-in-8 tree of raw Ray tasks — the Dataset API has no
-    bitwise-OR tree aggregate, which is exactly the raw-task escape hatch.
-    Driver traffic is one m/8-byte bitmap, independent of |old|.
+    Leaf tasks emit the distinct SET-BIT INDICES of their block (k·rows·
+    8 B — proportional to the keys, never to m; a full m/8-byte partial
+    bitmap per block would push blocks × m bytes of mostly-zero words
+    through plasma). Groups of 8 leaves materialize into bitmaps, then a
+    fan-in-8 OR tree of raw Ray tasks reduces to one — the Dataset API
+    has no bitwise-OR tree aggregate, which is exactly the raw-task
+    escape hatch. Driver traffic is one m/8-byte bitmap ref.
     """
     import ray
 
@@ -159,12 +156,26 @@ def build_bloom(
     k = num_hashes
 
     @ray.remote
-    def block_bitmap(tbl: pa.Table) -> np.ndarray:
-        words = np.zeros(m_bits // 64, np.uint64)
+    def block_indices(tbl: pa.Table) -> np.ndarray:
         col = tbl[digest_col]
         col = col.drop_null() if col.null_count else col
         h1, h2 = _raw_to_u64_pair(_hex_to_raw(col))
-        _set_bits(words, h1, h2, k, mask)
+        idx = np.empty(len(h1) * k, np.uint64)
+        for i in range(k):
+            idx[i * len(h1) : (i + 1) * len(h1)] = (
+                h1 + np.uint64(i) * h2
+            ) & mask
+        return np.unique(idx)
+
+    @ray.remote
+    def indices_to_bitmap(*parts: np.ndarray) -> np.ndarray:
+        words = np.zeros(m_bits // 64, np.uint64)
+        for idx in parts:
+            np.bitwise_or.at(
+                words,
+                (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
         return words
 
     @ray.remote
@@ -174,9 +185,15 @@ def build_bloom(
             out |= p
         return out
 
-    refs = [block_bitmap.remote(r) for r in old_digests.to_arrow_refs()]
-    if not refs:
+    leaves = [
+        block_indices.remote(r) for r in old_digests.to_arrow_refs()
+    ]
+    if not leaves:
         return ray.put(np.zeros(m_bits // 64, np.uint64)), m_bits, k
+    refs = [
+        indices_to_bitmap.remote(*leaves[i : i + 8])
+        for i in range(0, len(leaves), 8)
+    ]
     while len(refs) > 1:
         refs = [
             or_merge.remote(*refs[i : i + 8])
@@ -199,7 +216,7 @@ def incremental_dedup(
     emit: str = "classified",
     tier: str | None = None,
     broadcast_limit: int = 5_000_000,
-    bloom_limit: int = 20_000_000_000,
+    bloom_limit: int | None = None,
     bits_per_key: int = 16,
     num_hashes: int = 7,
     positive_broadcast_limit: int = 5_000_000,
@@ -221,6 +238,12 @@ def incremental_dedup(
 
     old_digests = old_digests.materialize()
     n_old = old_digests.count()
+    if bloom_limit is None:
+        # the bloom tier is only honest while the m cap preserves the
+        # requested bits/key — past (2^33 bits / bits_per_key) keys the
+        # FP rate explodes, positives overflow, and the call would build
+        # a useless bitmap before falling through; go straight to join
+        bloom_limit = (1 << 33) // bits_per_key
     if tier is None:
         if n_old <= broadcast_limit:
             tier = "broadcast"

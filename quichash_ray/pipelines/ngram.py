@@ -225,6 +225,30 @@ def _pairs_with_totals(
     )
 
 
+def _filter_pairs(j2: Dataset, rhs_fn) -> Dataset:
+    """shared tail of the pair detectors: keep pairs where q·shared ≥
+    rhs_fn(shared, n_a, n_b), emitting the canonical int64 columns."""
+
+    def flt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shared = pc.cast(b["shared"], pa.int64())
+        na = pc.cast(b["n_a"], pa.int64())
+        nb = pc.cast(b["n_b"], pa.int64())
+        out = pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "shared": shared,
+                "n_a": na,
+                "n_b": nb,
+            }
+        )
+        return out.filter(rhs_fn(shared, na, nb))
+
+    return j2.map_batches(flt, batch_format="pyarrow", batch_size=None)
+
+
 def containment_pairs(
     ds: Dataset,
     k: int = 5,
@@ -240,33 +264,22 @@ def containment_pairs(
     p/q ⇔ q·shared ≥ p·min(n_a, n_b), evaluated in int64 on both engine
     and oracle. Catches subset duplication (a file embedded in a larger
     one) that symmetric Jaccard dilutes below its threshold."""
+    import pyarrow.compute as pc
+
     p, q = threshold_num, threshold_den
     j2 = _pairs_with_totals(
         ds, k, id_col, text_col, gram_cap, num_partitions
     )
 
-    def flt(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        shared = pc.cast(b["shared"], pa.int64())
-        na = pc.cast(b["n_a"], pa.int64())
-        nb = pc.cast(b["n_b"], pa.int64())
-        lhs = pc.multiply(pa.scalar(q, pa.int64()), shared)
-        rhs = pc.multiply(
-            pa.scalar(p, pa.int64()), pc.min_element_wise(na, nb)
+    def keep(shared, na, nb):
+        return pc.greater_equal(
+            pc.multiply(pa.scalar(q, pa.int64()), shared),
+            pc.multiply(
+                pa.scalar(p, pa.int64()), pc.min_element_wise(na, nb)
+            ),
         )
-        out = pa.table(
-            {
-                "id_a": b["id_a"],
-                "id_b": b["id_b"],
-                "shared": shared,
-                "n_a": na,
-                "n_b": nb,
-            }
-        )
-        return out.filter(pc.greater_equal(lhs, rhs))
 
-    return j2.map_batches(flt, batch_format="pyarrow", batch_size=None)
+    return _filter_pairs(j2, keep)
 
 
 def jaccard_pairs(
@@ -288,32 +301,20 @@ def jaccard_pairs(
     arrays broadcast once below its limit, a hash-shuffle ``Dataset.join``
     above it (the 10^8+-doc path); never a driver-side per-row dict.
     """
+    import pyarrow.compute as pc
+
     j2 = _pairs_with_totals(
         ds, k, id_col, text_col, gram_cap, num_partitions
     )
     p, q = threshold_num, threshold_den
 
-    def flt(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        shared = pc.cast(b["shared"], pa.int64())
-        na = pc.cast(b["n_a"], pa.int64())
-        nb = pc.cast(b["n_b"], pa.int64())
-        lhs = pc.multiply(pa.scalar(q, pa.int64()), shared)
-        rhs = pc.multiply(
-            pa.scalar(p, pa.int64()),
-            pc.subtract(pc.add(na, nb), shared),
+    def keep(shared, na, nb):
+        return pc.greater_equal(
+            pc.multiply(pa.scalar(q, pa.int64()), shared),
+            pc.multiply(
+                pa.scalar(p, pa.int64()),
+                pc.subtract(pc.add(na, nb), shared),
+            ),
         )
-        mask = pc.greater_equal(lhs, rhs)
-        out = pa.table(
-            {
-                "id_a": b["id_a"],
-                "id_b": b["id_b"],
-                "shared": shared,
-                "n_a": na,
-                "n_b": nb,
-            }
-        )
-        return out.filter(mask)
 
-    return j2.map_batches(flt, batch_format="pyarrow", batch_size=None)
+    return _filter_pairs(j2, keep)

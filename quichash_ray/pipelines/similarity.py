@@ -170,21 +170,30 @@ def cosine_neardup_pairs(
             ids_a, am = ray.get(ref)  # zero-copy same-node
             if len(ids_a) == 0:
                 continue
+            # chunk the a-rows so the cached scratch stays a fixed
+            # a_chunk × strip = 64 MB per worker (an unbounded
+            # |a_block|-row buffer pinned in _VERIFY_SCRATCH would turn
+            # a transient allocation into permanent multi-GB residency
+            # under the long idle-worker keepalive)
+            a_chunk = 2048
             buf = _VERIFY_SCRATCH.get("mm")
-            if buf is None or buf.shape[0] < len(ids_a):
-                buf = np.empty((len(ids_a), strip), np.float64)
+            if buf is None:
+                buf = np.empty((a_chunk, strip), np.float64)
                 _VERIFY_SCRATCH["mm"] = buf
-            for s in range(0, len(vids), strip):
-                vs = vecs[s : s + strip]
-                vi = vids[s : s + strip]
-                sims = np.matmul(
-                    am, vs.T, out=buf[: len(ids_a), : len(vi)]
-                )
-                hit_a, hit_b = np.nonzero(
-                    (sims >= threshold) & (ids_a[:, None] < vi[None, :])
-                )
-                out_a.append(ids_a[hit_a])
-                out_b.append(vi[hit_b])
+            for a0 in range(0, len(ids_a), a_chunk):
+                am_c = am[a0 : a0 + a_chunk]
+                ia_c = ids_a[a0 : a0 + a_chunk]
+                for s in range(0, len(vids), strip):
+                    vs = vecs[s : s + strip]
+                    vi = vids[s : s + strip]
+                    sims = np.matmul(
+                        am_c, vs.T, out=buf[: len(ia_c), : len(vi)]
+                    )
+                    hit_a, hit_b = np.nonzero(
+                        (sims >= threshold) & (ia_c[:, None] < vi[None, :])
+                    )
+                    out_a.append(ia_c[hit_a])
+                    out_b.append(vi[hit_b])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
         return pa.table(
@@ -206,7 +215,7 @@ _PLANE_CACHE: dict[tuple, np.ndarray] = {}
 # page-fault cost on every task (measured on the bench VM: intermittent
 # ~90 µs/page storms — 17 s for a 184 MB gather that computes in 30 ms
 # warm). Reusing bounded buffers pays it once per worker process.
-_VERIFY_SCRATCH: dict[tuple, np.ndarray] = {}
+_VERIFY_SCRATCH: dict[object, np.ndarray] = {}
 _VERIFY_STRIDE = 65536
 
 

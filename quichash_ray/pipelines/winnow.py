@@ -61,6 +61,13 @@ def _doc_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray
     n = len(toks) - k + 1
     if n <= 0:
         return np.empty(0, np.int64), np.empty(0, "S32")
+    if n > _POS_MAX + 1:
+        # a negative zfill suffix would invert the rightmost-tie order
+        # (and diverge from the SQL mirror's lpad) — refuse loudly
+        raise ValueError(
+            f"document has {n} grams; winnowing's position encoding "
+            f"supports at most {_POS_MAX + 1} — split the document"
+        )
     keys = np.empty(n, f"S{32 + _POS_PAD}")
     for i in range(n):
         h = hashlib.md5(" ".join(toks[i : i + k]).encode("utf-8")).hexdigest()
