@@ -948,6 +948,16 @@ def _q_incremental_dedup(sf_dir: str):
     return incremental_dedup(new, old, tier="bloom")
 
 
+def _q_chunk_dedup_stats(sf_dir: str):
+    """Chunk-granularity dedup stats (64-char chunks) over the
+    dup-planted corpus — the storage-style sub-file dedup-ratio report,
+    reusing the banded analyze machinery over chunk digests."""
+    from quichash_ray.pipelines.chunkdedup import chunk_dedup_stats
+    from quichash_ray.pipelines.derived import dup_planted
+
+    return chunk_dedup_stats(dup_planted(_docs(sf_dir)), chunk_chars=64)
+
+
 def _q_ngram_decontaminate(sf_dir: str):
     """GPT-3-style 13-gram overlap decontamination: train docs sharing
     any 13-token-gram with the quote-planted eval corpus, with distinct
@@ -1057,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "comment_scrub": _q_comment_scrub,
         "containment_pairs": _q_containment_pairs,
         "ngram_decontaminate": _q_ngram_decontaminate,
+        "chunk_dedup_stats": _q_chunk_dedup_stats,
     }
 
 
@@ -1147,6 +1158,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS shared
             FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # chunk-granularity analyze: the file-analyze semantics over
+        # fixed 64-char chunk digests of the dup-planted corpus
+        "chunk_dedup_stats": f"""
+            WITH {DUP_PLANTED_SQL.strip().rstrip()},
+            docs AS (
+              SELECT text, length(text) AS L FROM d
+              WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            chunks AS (
+              SELECT substr(text, g.i * 64 + 1, 64) AS c
+              FROM docs,
+                   LATERAL (
+                     SELECT unnest(generate_series(0, (L - 1) // 64)) AS i
+                   ) g
+            ),
+            per AS (
+              SELECT sha256(c) AS dg, count(*) AS cnt,
+                     min(strlen(c)) AS sz
+              FROM chunks GROUP BY 1
+            )
+            SELECT sum(cnt)::BIGINT AS total_files,
+                   sum(cnt * sz)::BIGINT AS total_bytes,
+                   count(*)::BIGINT AS unique_hashes,
+                   (count(*) FILTER (cnt > 1))::BIGINT AS dup_groups,
+                   (coalesce(sum(cnt) FILTER (cnt > 1), 0))::BIGINT
+                       AS dup_files,
+                   (coalesce(sum((cnt-1) * sz) FILTER (cnt > 1), 0))::BIGINT
+                       AS wasted_bytes
+            FROM per
         """,
         # 13-gram overlap decontamination vs the quote-planted eval set:
         # distinct shared-gram counts per contaminated train doc
