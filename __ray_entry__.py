@@ -958,6 +958,18 @@ def _q_chunk_dedup_stats(sf_dir: str):
     return chunk_dedup_stats(dup_planted(_docs(sf_dir)), chunk_chars=64)
 
 
+def _q_cdc_dedup_stats(sf_dir: str):
+    """Content-defined-chunk dedup stats (vectorized gear hash, high-bit
+    mask, expected 64-B chunks) over the dup-planted corpus — rows-only
+    (a rolling gear hash is not SQL-expressible); the vectorized-vs-
+    sequential equality and insertion-robustness properties are gated in
+    tests/test_chunkdedup.py."""
+    from quichash_ray.pipelines.chunkdedup import cdc_dedup_stats
+    from quichash_ray.pipelines.derived import dup_planted
+
+    return cdc_dedup_stats(dup_planted(_docs(sf_dir)), mask_bits=6)
+
+
 def _q_ngram_decontaminate(sf_dir: str):
     """GPT-3-style 13-gram overlap decontamination: train docs sharing
     any 13-token-gram with the quote-planted eval corpus, with distinct
@@ -1068,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "ngram_decontaminate": _q_ngram_decontaminate,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
+        "cdc_dedup_stats": _q_cdc_dedup_stats,
     }
 
 

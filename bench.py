@@ -107,6 +107,7 @@ def run_suite() -> dict:
         "containment_pairs",
         "ngram_decontaminate",
         "chunk_dedup_stats",
+        "cdc_dedup_stats",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

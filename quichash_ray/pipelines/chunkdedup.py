@@ -80,6 +80,123 @@ def chunk_digest_table(
     )
 
 
+# deterministic gear table: 256 uint64 words derived from sha256 of the
+# byte value — no RNG, identical on every worker
+def _gear_table() -> np.ndarray:
+    out = np.empty(256, np.uint64)
+    for i in range(256):
+        out[i] = int.from_bytes(
+            hashlib.sha256(bytes([i])).digest()[:8], "big"
+        )
+    return out
+
+
+_GEAR = _gear_table()
+
+
+def gear_boundaries(data: bytes, mask_bits: int = 6) -> np.ndarray:
+    """Content-defined cut points (gear rolling hash, LBFS/FastCDC
+    family): cut after position t when gear_hash(t) has its HIGH
+    ``mask_bits`` bits zero → expected chunk ≈ 2^mask_bits bytes. The
+    high bits are used because gear's low bits have only ``mask_bits``
+    bytes of memory and skew on small-alphabet text — the same reason
+    FastCDC spreads its mask toward the high end of the word.
+
+    The gear hash has a 64-byte memory (h_t = Σ_{j<64} GEAR[b_{t−j}]≪j,
+    old bytes shift out), so boundaries depend only on a 64-byte window —
+    the property that makes chunking INSERTION-ROBUST: content after an
+    edit re-synchronizes within one window, unlike fixed-size chunks
+    where one inserted byte shifts every later chunk. The finite memory
+    also makes it fully VECTORIZABLE: 64 shifted table-lookup adds over
+    the whole byte array, no per-byte Python loop.
+
+    Returns the sorted cut positions (exclusive ends), always including
+    len(data)."""
+    b = np.frombuffer(data, np.uint8)
+    n = len(b)
+    if n == 0:
+        return np.zeros(1, np.int64)
+    h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(min(64, n)):
+            h[j:] += _GEAR[b[: n - j]] << np.uint64(j)
+    cuts = np.flatnonzero((h >> np.uint64(64 - mask_bits)) == 0) + 1
+    if len(cuts) == 0 or cuts[-1] != n:
+        cuts = np.concatenate((cuts, [n]))
+    return cuts.astype(np.int64)
+
+
+def cdc_chunk_digest_table(
+    ds: Dataset,
+    mask_bits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """→ (chunk_id, digest, size, _dp): sha256 per CONTENT-DEFINED chunk
+    (gear boundaries over the UTF-8 bytes). Same schema as
+    :func:`chunk_digest_table`, so the same analyze machinery consumes
+    it; no SQL oracle (a rolling gear hash is not SQL-expressible) — the
+    insertion-robustness property is pytest-gated instead."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_dig, out_size = [], [], []
+        for rid, txt in zip(ids, texts):
+            if not txt:
+                continue
+            data = txt.encode("utf-8")
+            cuts = gear_boundaries(data, mask_bits)
+            start = 0
+            for ci, end in enumerate(cuts):
+                chunk = data[start:end]
+                out_id.append(f"{rid}:{ci}")
+                out_dig.append(hashlib.sha256(chunk).hexdigest())
+                out_size.append(len(chunk))
+                start = end
+        if not out_dig:
+            return pa.table(
+                {
+                    "chunk_id": pa.array([], pa.string()),
+                    "digest": pa.array([], pa.string()),
+                    "size": pa.array([], pa.int64()),
+                    "_dp": pa.array([], pa.int64()),
+                }
+            )
+        raw = np.frombuffer(
+            bytes.fromhex("".join(d[:16] for d in out_dig)), np.uint8
+        ).reshape(-1, 8)
+        dp = np.ascontiguousarray(raw).view(np.uint64).reshape(-1)
+        return pa.table(
+            {
+                "chunk_id": pa.array(out_id, pa.string()),
+                "digest": pa.array(out_dig, pa.string()),
+                "size": pa.array(out_size, pa.int64()),
+                "_dp": pa.array(dp.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cdc_dedup_stats(
+    ds: Dataset,
+    mask_bits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """analyze semantics over content-defined chunks — the dedup ratio
+    that survives insertions/prefix shifts (rows-only; gear hash is not
+    SQL-expressible)."""
+    from quichash_ray.pipelines.dedup import analyze_stats
+
+    return analyze_stats(
+        cdc_chunk_digest_table(ds, mask_bits, text_col, id_col)
+    )
+
+
 def chunk_dedup_stats(
     ds: Dataset,
     chunk_chars: int = 64,
