@@ -846,8 +846,15 @@ def _q_events_asof_join(sf_dir: str):
         import pyarrow.compute as pc
 
         sel = b.filter(pc.equal(b["event_type"], "purchase"))
+        # half-away-from-zero to match the oracle: DuckDB round() is
+        # half-away-from-zero while pc.round defaults to half_to_even —
+        # a value*100 landing exactly on .5 would otherwise be 1c off
         cents = pc.cast(
-            pc.round(pc.multiply(sel["value"], pa.scalar(100.0))), pa.int64()
+            pc.round(
+                pc.multiply(sel["value"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
         return pa.table(
             {
@@ -1839,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
             WITH """ + LINE_PLANTED_SQL.strip() + """,
             split AS (
                 SELECT doc_id, string_split(text, chr(10)) AS lines FROM lp
+                WHERE text IS NOT NULL  -- engine drops null-text docs too
             )
             SELECT doc_id,
                    len(lines)::BIGINT AS n_lines,

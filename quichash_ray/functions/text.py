@@ -83,8 +83,25 @@ def predict_lang(scores: dict[str, pa.Array]) -> pa.Array:
 
 def normalize_for_fingerprint(s: str) -> str:
     """lowercase + collapse whitespace + trim — the canonical form hashed by
-    the document fingerprint (rolling-hash analog; md5 of normal form)."""
+    the document fingerprint (rolling-hash analog; md5 of normal form).
+    Scalar form; hot paths use :func:`normalize_fp_array` (same semantics,
+    one RE2 pass over the whole column — equivalence-tested)."""
     return _WS_RE.sub(" ", s.lower()).strip(" ")
+
+
+def normalize_fp_array(
+    text: pa.ChunkedArray | pa.Array,
+) -> pa.ChunkedArray | pa.Array:
+    """Vectorized :func:`normalize_for_fingerprint` over an Arrow string
+    column (nulls propagate). One utf8proc lowercase pass + one RE2
+    whitespace-collapse pass + a space trim — replaces the per-row Python
+    regex in every fingerprint/decontamination key emission."""
+    return pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.utf8_lower(text), pattern=r"[ \t\n\f\r]+", replacement=" "
+        ),
+        characters=" ",
+    )
 
 
 def tokenize(s: str) -> list[str]:

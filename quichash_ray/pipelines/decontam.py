@@ -32,13 +32,50 @@ from quichash_ray.functions.text import normalize_for_fingerprint
 
 
 def _doc_keys(text: str) -> tuple[str, str]:
-    """(exact sha256 hex, fingerprint md5 hex) of one document."""
+    """(exact sha256 hex, fingerprint md5 hex) of one document — scalar
+    reference form; batch paths use :func:`_batch_key_digests` (same
+    semantics, vectorized normalize + zero-copy views)."""
     return (
         hashlib.sha256(text.encode("utf-8")).hexdigest(),
         hashlib.md5(
             normalize_for_fingerprint(text).encode("utf-8")
         ).hexdigest(),
     )
+
+
+def _batch_key_digests(
+    b: pa.Table, text_col: str
+) -> tuple[list[bytes | None], list[bytes | None]]:
+    """Per-row (raw sha256 of text, raw md5 of normalized text).
+
+    The digest-stage shape (stages/digest.py): one vectorized RE2 normalize
+    pass over the column, zero-copy memoryviews over both Arrow data
+    buffers, and a per-row loop whose only body is the hashlib C call —
+    replaces the round-3 ``to_pylist()`` + per-row Python-regex normalize.
+    Nulls map to None in both lists.
+    """
+    from quichash_ray.functions.text import normalize_fp_array
+    from quichash_ray.stages.digest import content_byte_views
+
+    raw_views, _ = content_byte_views(b, text_col)
+    norm_views, _ = content_byte_views(
+        pa.table({"t": normalize_fp_array(b[text_col])}), "t"
+    )
+    sha = [
+        None if v is None else hashlib.sha256(v).digest() for v in raw_views
+    ]
+    fp = [
+        None if v is None else hashlib.md5(v).digest() for v in norm_views
+    ]
+    return sha, fp
+
+
+def _member_sorted(sorted_arr: "np.ndarray", probes: "np.ndarray"):
+    """Vectorized membership of ``probes`` in a sorted unique array."""
+    if len(sorted_arr) == 0 or len(probes) == 0:
+        return np.zeros(len(probes), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_arr, probes), 0, len(sorted_arr) - 1)
+    return sorted_arr[pos] == probes
 
 
 def decontaminate(
@@ -66,14 +103,14 @@ def decontaminate(
 
     @ray.remote
     def block_keys(t: pa.Table):
-        sha, fp = [], []
-        for txt in t[text_col].to_pylist():
-            if txt is None:
-                continue
-            s, f = _doc_keys(txt)
-            sha.append(s.encode())
-            fp.append(f.encode())
-        return np.array(sha, dtype="S64"), np.array(fp, dtype="S32")
+        sha, fp = _batch_key_digests(t, text_col)
+        valid = [i for i, v in enumerate(sha) if v is not None]
+        if not valid:
+            return np.empty(0, "S32"), np.empty(0, "S16")
+        return (
+            np.frombuffer(b"".join(sha[i] for i in valid), "S32"),
+            np.frombuffer(b"".join(fp[i] for i in valid), "S16"),
+        )
 
     parts = ray.get(
         [block_keys.remote(r) for r in test.to_arrow_refs()]
@@ -81,43 +118,37 @@ def decontaminate(
     sha_arr = (
         np.unique(np.concatenate([p[0] for p in parts]))
         if parts
-        else np.empty(0, "S64")
+        else np.empty(0, "S32")
     )
     fp_arr = (
         np.unique(np.concatenate([p[1] for p in parts]))
         if parts
-        else np.empty(0, "S32")
+        else np.empty(0, "S16")
     )
     keys_ref = ray.put((sha_arr, fp_arr))
 
     def classify(b: pa.Table) -> pa.Table:
         from quichash_ray.stages.broadcast import cached_get
 
-        shas, fps = cached_get(keys_ref)  # sorted unique bytes
-        texts = b[text_col].to_pylist()
-        reason = np.full(len(texts), "", dtype="U11")
-        for i, txt in enumerate(texts):
-            if txt is None:
-                continue
-            # exact tier first; the fingerprint (regex normalize + md5) is
-            # computed lazily only on an exact-tier miss with a non-empty
-            # fingerprint set
-            s = hashlib.sha256(txt.encode("utf-8")).hexdigest().encode()
-            if len(shas) and shas[
-                min(np.searchsorted(shas, s), len(shas) - 1)
-            ] == s:
-                reason[i] = "exact"
-                continue
-            if not len(fps):
-                continue
-            f = hashlib.md5(
-                normalize_for_fingerprint(txt).encode("utf-8")
-            ).hexdigest().encode()
-            if fps[min(np.searchsorted(fps, f), len(fps) - 1)] == f:
-                reason[i] = "fingerprint"
-        hit = reason != ""
+        shas, fps = cached_get(keys_ref)  # sorted unique raw digests
+        sha, fp = _batch_key_digests(b, text_col)
+        n = b.num_rows
+        nullpad32, nullpad16 = b"\xff" * 32, b"\xff" * 16
+        dg = np.frombuffer(
+            b"".join(v if v is not None else nullpad32 for v in sha), "S32"
+        ) if n else np.empty(0, "S32")
+        fg = np.frombuffer(
+            b"".join(v if v is not None else nullpad16 for v in fp), "S16"
+        ) if n else np.empty(0, "S16")
+        isnull = np.fromiter(
+            (v is None for v in sha), dtype=bool, count=n
+        ) if n else np.empty(0, bool)
+        exact = _member_sorted(shas, dg) & ~isnull
+        fphit = _member_sorted(fps, fg) & ~isnull & ~exact
+        hit = exact | fphit
         if emit == "clean":
             return b.filter(pa.array(~hit))
+        reason = np.where(exact, "exact", "fingerprint")
         out = pa.table(
             {
                 id_col: b[id_col],
@@ -426,38 +457,43 @@ def _decontaminate_join(
         ).astype(np.int64)
 
     def _emit_keys(b: pa.Table, kind: int) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        ids = (
-            b[id_col].to_pylist() if kind == 1 else [None] * b.num_rows
+        # vectorized key emission (digest-stage shape): all tier-0 rows,
+        # then all tier-1 rows — within-partition order is irrelevant to
+        # the downstream sorted-membership + per-id reduce
+        sha, fp = _batch_key_digests(b, text_col)
+        valid = [i for i, v in enumerate(sha) if v is not None]
+        nv = len(valid)
+        sha_cat = b"".join(sha[i] for i in valid)
+        fp_cat = b"".join(fp[i] for i in valid)
+        offs = np.empty(2 * nv + 1, np.int64)
+        offs[: nv + 1] = np.arange(nv + 1, dtype=np.int64) * 32
+        offs[nv + 1 :] = nv * 32 + np.arange(1, nv + 1, dtype=np.int64) * 16
+        key_arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            2 * nv,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(sha_cat + fp_cat)],
         )
-        out_key, out_tier, out_id = [], [], []
-        for rid, txt in zip(ids, texts):
-            if txt is None:
-                continue
-            enc = txt.encode("utf-8")
-            out_key.append(hashlib.sha256(enc).digest())
-            out_tier.append(0)
-            out_id.append(rid)
-            out_key.append(
-                hashlib.md5(
-                    normalize_for_fingerprint(txt).encode("utf-8")
-                ).digest()
-            )
-            out_tier.append(1)
-            out_id.append(rid)
-        key_arr = pa.array(out_key, pa.large_binary())
-        vals, offs = binary_col_parts(key_arr)
-        part = (
-            _key_part(vals, offs)
-            if len(out_key)
-            else np.empty(0, np.int64)
-        )
+        tier = np.empty(2 * nv, np.int8)
+        tier[:nv] = 0
+        tier[nv:] = 1
+        if kind == 1:
+            ids_np = np.asarray(
+                b[id_col].combine_chunks()
+                if isinstance(b[id_col], pa.ChunkedArray)
+                else b[id_col],
+                dtype=np.int64,
+            )[valid]
+            rid = pa.array(np.concatenate([ids_np, ids_np]), pa.int64())
+        else:
+            rid = pa.nulls(2 * nv, pa.int64())
+        vals, offs_np = binary_col_parts(key_arr)
+        part = _key_part(vals, offs_np) if nv else np.empty(0, np.int64)
         return pa.table(
             {
                 "key": key_arr,
-                "tier": pa.array(out_tier, pa.int8()),
-                "kind": pa.array([kind] * len(out_key), pa.int8()),
-                "rid": pa.array(out_id, pa.int64()),
+                "tier": pa.array(tier),
+                "kind": pa.array(np.full(2 * nv, kind, np.int8)),
+                "rid": rid,
                 "part": pa.array(part),
             }
         )

@@ -780,15 +780,17 @@ def line_planted(ds: Dataset, text_col: str = "text") -> Dataset:
     documents are single-line). Per doc: the original text, a boilerplate
     line in EVERY doc (df = corpus), a newsletter line in a third of docs,
     the boilerplate REPEATED within-doc on doc_id%4==1 (within-doc dup
-    signal), and a unique footer line (df = 1). ``LINE_PLANTED_SQL`` is the
-    literal mirror."""
+    signal), and a unique footer line (df = 1). doc_id%97==13 docs get NULL
+    text so the null-text contract (engine and oracle both skip them — see
+    linededup module docstring) is actually exercised at every sf.
+    ``LINE_PLANTED_SQL`` is the literal mirror."""
 
     def plant(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
         texts = b[text_col].to_pylist()
         out = []
         for i, t in zip(ids, texts):
-            if t is None:
+            if t is None or i % 97 == 13:
                 out.append(None)
                 continue
             lines = [t, _BOILERPLATE]
@@ -808,6 +810,7 @@ def line_planted(ds: Dataset, text_col: str = "text") -> Dataset:
 LINE_PLANTED_SQL = """
 lp AS (
     SELECT doc_id,
+           CASE WHEN doc_id % 97 = 13 THEN NULL ELSE
            text
            || chr(10) || 'COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED'
            || CASE WHEN doc_id % 3 = 0
@@ -818,7 +821,7 @@ lp AS (
                      || 'COPYRIGHT 2024 EXAMPLE CORP ALL RIGHTS RESERVED'
                 ELSE '' END
            || chr(10) || 'doc footer ' || doc_id
-           AS text
+           END AS text
     FROM documents
 )
 """

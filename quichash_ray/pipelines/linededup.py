@@ -40,6 +40,16 @@ import ray
 from ray.data import Dataset
 
 
+def _drop_null_text(b: pa.Table, text_col: str) -> pa.Table:
+    """Null-text docs are SKIPPED (no output row) by every operator here —
+    the contract that matches the oracle, where ``unnest(string_split(NULL))``
+    yields no row. Emitting zero-rows for nulls (the pre-round-4 behavior)
+    silently diverged from the SQL on any corpus with nulls."""
+    if b.num_rows and b[text_col].null_count:
+        return b.filter(pc.is_valid(b[text_col]))
+    return b
+
+
 def _split_lines(b: pa.Table, text_col: str) -> pa.ListArray:
     text = b[text_col].combine_chunks() if isinstance(
         b[text_col], pa.ChunkedArray
@@ -53,10 +63,11 @@ def _split_lines(b: pa.Table, text_col: str) -> pa.ListArray:
 def line_stats(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> Dataset:
-    """→ (id, n_lines, n_distinct_lines, dup_line_bp). Null text → 0s
-    (the engine's skip-and-count discipline; the oracle side has no nulls)."""
+    """→ (id, n_lines, n_distinct_lines, dup_line_bp). Null-text docs are
+    dropped, matching the oracle (len(NULL) is NULL in SQL, not 0)."""
 
     def kernel(b: pa.Table) -> pa.Table:
+        b = _drop_null_text(b, text_col)
         lists = _split_lines(b, text_col)
         offsets = np.asarray(lists.offsets)
         n_lines = np.diff(offsets).astype(np.int64)
@@ -95,6 +106,7 @@ def common_lines(
     ≥ pct% of ``n_docs``. Returns the (provably bounded) sorted list."""
 
     def partial(b: pa.Table) -> pa.Table:
+        b = _drop_null_text(b, text_col)
         lists = _split_lines(b, text_col)
         offsets = np.asarray(lists.offsets)
         n_lines = np.diff(offsets)
@@ -150,6 +162,7 @@ def boilerplate_removal(
         from quichash_ray.stages.broadcast import cached_get
 
         common = cached_get(common_ref)
+        b = _drop_null_text(b, text_col)
         lists = _split_lines(b, text_col)
         offsets = np.asarray(lists.offsets)
         n_lines = np.diff(offsets).astype(np.int64)
@@ -168,7 +181,11 @@ def boilerplate_removal(
             pa.array(new_offsets, pa.int64()),
             flat.filter(pa.array(~drop)),
         )
-        clean = pc.binary_join(clean_lists, "\n")
+        # separator must match the list value type — (large_list<large_string>,
+        # string) has no binary_join kernel, so scalar-cast the separator
+        clean = pc.binary_join(
+            clean_lists, pa.scalar("\n", clean_lists.type.value_type)
+        )
         return pa.table(
             {
                 id_col: b[id_col],

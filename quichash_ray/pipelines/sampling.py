@@ -34,6 +34,7 @@ from quichash_ray.stages.exchange import hash_exchange
 from quichash_ray.stages.partitioning import (
     dataset_num_parts,
     key_part_column,
+    string_hash_impl,
 )
 
 
@@ -71,6 +72,9 @@ def cap_per_group(
         num_parts = dataset_num_parts(
             ds, bytes_per_row=48, target_bytes=32 << 20
         )
+    # hash impl pinned on the driver so heterogeneous workers can't route
+    # the same group key to different partitions (see string_hash_impl)
+    hash_impl = string_hash_impl()
 
     def tag(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -80,7 +84,9 @@ def cap_per_group(
                 "skey": pa.array(
                     _md5_hex(b[id_col].to_pylist()), pa.string()
                 ),
-                "part": key_part_column(b[group_col], num_parts),
+                "part": key_part_column(
+                    b[group_col], num_parts, impl=hash_impl
+                ),
             }
         )
 

@@ -13,7 +13,6 @@ from quichash_ray.functions.text import (
     bpe_token_count_array,
     char_class_counts,
     lang_scores,
-    normalize_for_fingerprint,
     predict_lang,
     token_count_array,
 )
@@ -95,13 +94,16 @@ def fingerprints(
     text: a deterministic near-canonical document fingerprint."""
 
     def kernel(b: pa.Table) -> pa.Table:
+        # one vectorized RE2 normalize pass + zero-copy views; the per-row
+        # body is only the md5 C call (digest-stage discipline)
+        from quichash_ray.functions.text import normalize_fp_array
+        from quichash_ray.stages.digest import content_byte_views
+
+        views, _ = content_byte_views(
+            pa.table({"t": normalize_fp_array(b[text_col])}), "t"
+        )
         fps = [
-            None
-            if t is None
-            else hashlib.md5(
-                normalize_for_fingerprint(t).encode("utf-8")
-            ).hexdigest()
-            for t in b[text_col].to_pylist()
+            None if v is None else hashlib.md5(v).hexdigest() for v in views
         ]
         return pa.table(
             {id_col: b[id_col], "fingerprint": pa.array(fps, pa.string())}

@@ -136,7 +136,15 @@ def _fp_gram_table(
     ds: Dataset, text_col: str, id_col: str, k: int, w: int
 ) -> Dataset:
     """→ (id, gram): DISTINCT int64-truncated fingerprint hashes per doc,
-    distinctness established per doc inside the kernel."""
+    distinctness established per doc inside the kernel.
+
+    Collision assumption: shared-fp counts and the df cap downstream key on
+    these 64-bit truncations of the 128-bit md5 fingerprints (the oracle
+    keys on the full 128 bits). A truncation collision between DISTINCT
+    grams would inflate a shared count or shift a df past the cap —
+    probability ~2^-64 per distinct-gram pair, i.e. negligible until
+    corpus-scale distinct-gram counts approach birthday range (~2^32 ≈ 4B
+    grams); band on the full 128-bit key if that regime is ever real."""
 
     def kernel(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()

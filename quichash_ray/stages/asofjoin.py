@@ -39,6 +39,7 @@ from quichash_ray.stages.exchange import hash_exchange
 from quichash_ray.stages.partitioning import (
     dataset_num_parts,
     key_part_column,
+    string_hash_impl,
 )
 
 
@@ -80,12 +81,15 @@ def asof_join(
         num_parts = dataset_num_parts(
             left, bytes_per_row=64, target_bytes=32 << 20
         )
+    # hash impl pinned on the driver so heterogeneous workers can't route
+    # the same `by` key to different partitions (see string_hash_impl)
+    hash_impl = string_hash_impl()
 
     def _pad(b: pa.Table, side: int) -> pa.Table:
         # identical column ORDER on both sides — the exchange unions them
         n = b.num_rows
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
-            "part": key_part_column(b[by], num_parts),
+            "part": key_part_column(b[by], num_parts, impl=hash_impl),
             "_side": pa.array(np.full(n, side, dtype=np.int8)),
             by: b[by],
             ts_col: b[ts_col],

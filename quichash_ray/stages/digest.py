@@ -24,12 +24,13 @@ from quichash_ray.functions.fastmode import fast_sample
 from quichash_ray.functions.hashes import canonical_name, get_digest_fn
 
 
-def _content_bytes(
+def content_byte_views(
     batch: pa.Table, content_col: str
 ) -> tuple[list[memoryview | None], pa.Array]:
     """Content column → per-row ``memoryview``s over the Arrow data buffer —
     zero-copy (the old ``to_pylist()`` duplicated every content buffer into
-    Python bytes before hashing; hashlib consumes memoryviews directly)."""
+    Python bytes before hashing; hashlib consumes memoryviews directly).
+    Public: decontamination/fingerprint key emission reuses this shape."""
     import numpy as np
 
     col = batch[content_col]
@@ -82,7 +83,7 @@ def make_digest_kernel(
     fns = [(a, get_digest_fn(a)) for a in algos]
 
     def kernel(batch: pa.Table) -> pa.Table:
-        data, sizes = _content_bytes(batch, content_col)
+        data, sizes = content_byte_views(batch, content_col)
         if fast_mode:
             data = [
                 None if d is None else fast_sample(d, fast_sample_size)
@@ -149,3 +150,7 @@ def add_digests(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+
+# back-compat alias (pre-round-4 private name)
+_content_bytes = content_byte_views

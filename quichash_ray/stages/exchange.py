@@ -32,6 +32,18 @@ default 32768 — the measured flat↔two-level crossover band, see
 - only when even S would be tiny (pathological block counts) → the
   Dataset-native sort-groupby streaming shuffle.
 
+GIANT regime (round-4): both split/merge shapes ``materialize()`` their
+input first — fine when the exchanged rows are post-projection key/id
+tuples (1-3% of corpus bytes), but at 100-TB corpus scale even 1% is
+~1 TB of plasma residency per exchange. Since every caller derives
+``num_parts`` from its row count via ``choose_num_parts`` (64 MB/part
+target), ``num_parts`` is itself the input-size signal: at or above
+``QUICHASH_EXCHANGE_STREAM_PARTS`` (default 4096 ≈ 256 GB of exchanged
+rows) the exchange routes to the Dataset-native sort-groupby shuffle on
+the LAZY inputs — fully streaming, spill handled by Ray's shuffle, no
+up-front materialization. Single-node runs never reach 4096 parts, so
+the measured-faster raw-task path still serves the local/mid regime.
+
 Callers never pass the flag; ``use_sort_groupby=True`` remains as the
 explicit semantics reference used by the equivalence tests.
 """
@@ -58,6 +70,17 @@ _MAX_OBJECTS_DEFAULT = 32_768
 def _max_objects() -> int:
     return int(
         os.environ.get("QUICHASH_EXCHANGE_MAX_OBJECTS", _MAX_OBJECTS_DEFAULT)
+    )
+
+
+# num_parts at/above which the exchange skips materialization entirely and
+# streams through the sort-groupby shuffle (giant regime; module docstring)
+_STREAM_PARTS_DEFAULT = 4096
+
+
+def _stream_parts() -> int:
+    return int(
+        os.environ.get("QUICHASH_EXCHANGE_STREAM_PARTS", _STREAM_PARTS_DEFAULT)
     )
 
 
@@ -114,6 +137,12 @@ def hash_exchange(
         )
 
     if use_sort_groupby:
+        return _sort_path(ds_list)
+
+    # giant regime: stream — num_parts is size-derived by every caller, so
+    # a huge P means a huge input; don't materialize it into plasma first
+    # (see module docstring)
+    if use_sort_groupby is None and num_parts >= _stream_parts():
         return _sort_path(ds_list)
 
     @ray.remote

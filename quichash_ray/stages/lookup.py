@@ -21,6 +21,24 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
+def _join_num_parts(mapping_rows: int, num_partitions: int | None) -> int:
+    """Partition count for the join fallback tier.
+
+    ``None`` (the default everywhere) derives P from the MAPPING row count —
+    the join only fires when the mapping exceeds the broadcast limit, so the
+    mapping side is the size signal we have without materializing ``ds``.
+    Key/value rows are ~16-32 B; width 32 with the standard 64 MB target
+    keeps each join partition ≈2M mapping rows. A fixed P=8 here was the
+    round-3 scale bug: above the broadcast limit (exactly the 100×-scale
+    regime) every lookup degraded to 8 aggregators regardless of size.
+    """
+    from quichash_ray.stages.partitioning import choose_num_parts
+
+    if num_partitions is not None:
+        return num_partitions
+    return choose_num_parts(mapping_rows, bytes_per_row=32)
+
+
 def attach_lookup(
     ds: Dataset,
     mapping: Dataset,
@@ -28,7 +46,7 @@ def attach_lookup(
     value_col: str,
     out_col: str | None = None,
     broadcast_limit: int = 20_000_000,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     default: int | None = None,
     key_col_in_mapping: str | None = None,
 ) -> Dataset:
@@ -82,11 +100,25 @@ def attach_lookup(
         lambda b: b.rename_columns([key_col, out_col]),
         batch_format="pyarrow", batch_size=None,
     )
-    return ds.join(
+    joined = ds.join(
         renamed,
         join_type="left_outer",
-        num_partitions=num_partitions,
+        num_partitions=_join_num_parts(mapping.count(), num_partitions),
         on=(key_col,),
+    )
+    if default is None:
+        return joined
+
+    def fill_default(b: pa.Table) -> pa.Table:
+        arr = pa.compute.fill_null(
+            b[out_col].cast(pa.int64()), pa.scalar(default, pa.int64())
+        )
+        i = b.column_names.index(out_col)
+        return b.set_column(i, out_col, arr)
+
+    return joined.map_batches(
+        fill_default, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -95,7 +127,7 @@ def semi_join_broadcast(
     keys: Dataset,
     key_col: str,
     broadcast_limit: int = 50_000_000,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Keep ds rows whose ``key_col`` appears in ``keys`` (single column).
 
@@ -128,6 +160,14 @@ def semi_join_broadcast(
         return ds.map_batches(
             kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
+    # broadcast tier dedupes via np.unique; mirror that here so duplicate
+    # keys can never multiply ds rows (semi-join, not inner-join, semantics)
+    uniq = keys.select_columns([key_col]).groupby(key_col).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
     return ds.join(
-        keys, join_type="inner", num_partitions=num_partitions, on=(key_col,)
+        uniq,
+        join_type="inner",
+        num_partitions=_join_num_parts(keys.count(), num_partitions),
+        on=(key_col,),
     )

@@ -34,15 +34,33 @@ def choose_num_parts(
     return int(min(max(p, min_parts), max_parts))
 
 
-def key_part_column(col, num_parts: int):
+def string_hash_impl() -> str:
+    """Pick the string-hash implementation ONCE, on the driver, at
+    stage-build time. ``key_part_column`` re-deciding per worker via
+    try/except would silently break the all-rows-of-a-key-in-one-partition
+    guarantee if worker environments were ever heterogeneous (or polars
+    changed its hash mid-job): same key, different partition. Callers whose
+    kernels hash string keys capture this value in the closure and pass it
+    as ``impl=``."""
+    try:
+        import polars  # noqa: F401
+
+        return "polars"
+    except ImportError:
+        return "crc32"
+
+
+def key_part_column(col, num_parts: int, impl: str | None = None):
     """Vectorized stable hash-partition assignment for an int or string key
     column → int64 pyarrow array of parts in [0, num_parts).
 
     Integers take a splitmix-style scramble (sequential ids spread evenly);
     strings take polars' vectorized xxhash (67× the per-row crc32 loop at
-    1M keys; zlib fallback when polars is absent). Nulls land in part 0.
-    The value is only ever a partition ASSIGNMENT — it never appears in
-    output — so the only requirement is within-job consistency.
+    1M keys) or the zlib crc32 loop, per ``impl`` — which MUST come from a
+    driver-side :func:`string_hash_impl` call when this runs inside a
+    worker kernel (see that docstring). Nulls land in part 0. The value is
+    only ever a partition ASSIGNMENT — it never appears in output — so the
+    only requirement is within-job consistency.
     """
     import numpy as np
     import pyarrow as pa
@@ -61,7 +79,9 @@ def key_part_column(col, num_parts: int):
             pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
         ):
             arr = pc.cast(arr, pa.string())
-        try:
+        if impl is None:
+            impl = string_hash_impl()
+        if impl == "polars":
             import polars as pl
 
             h = pl.from_arrow(arr).hash(seed=0)
@@ -69,7 +89,7 @@ def key_part_column(col, num_parts: int):
                 np.asarray(h.to_numpy(), dtype=np.uint64)
                 % np.uint64(num_parts)
             ).astype(np.int64)
-        except ImportError:
+        else:
             import zlib
 
             parts = np.fromiter(
