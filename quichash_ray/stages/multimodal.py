@@ -2,9 +2,12 @@
 
 The *codec* tier is wired behind optional imports: compressed payloads
 (JPEG/PNG/GIF/BMP; WAV/OGG/FLAC; MP4/MKV/AVI — detected by magic bytes)
-decode through PIL / soundfile / PyAV when those libraries are installed,
-and raise a clearly-marked ``NotImplementedError`` when they are not
-(this container ships none of them). Uncompressed raw layouts — images as
+decode through PIL / soundfile / PyAV when those libraries are installed.
+When they are not (this container ships none), the formats that need no
+codec library decode through pure-stdlib fallbacks — PNG (zlib inflate +
+defilter), BMP (24/32-bit BI_RGB), and RIFF/WAVE PCM/float — while the
+genuinely codec-bound formats (JPEG/GIF; OGG/FLAC; MP4/MKV/AVI) raise a
+clearly-marked ``NotImplementedError``. Uncompressed raw layouts — images as
 ``width × height × 3`` uint8 RGB buffers, audio as int16 mono PCM, video
 as consecutive raw-RGB frames — decode everywhere via numpy
 reinterpretation and are the test fixture. Everything
@@ -98,24 +101,169 @@ def media_schema() -> pa.Schema:
     )
 
 
+def _png_defilter(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4) → (height, stride) uint8.
+
+    Up/None rows are fully vectorized; Sub/Average/Paeth carry a
+    left-pixel dependency so those rows run a per-byte loop — acceptable
+    for the fallback tier (this path exists for correctness when PIL is
+    absent; PIL, when installed, wins the hot path)."""
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(height):
+        ft = raw[pos]
+        pos += 1
+        cur = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ft == 1:  # Sub
+            cur = cur.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 3:  # Average
+            cur = cur.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = cur.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _decode_png_pure(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + defilter) → (h, w, 3) uint8.
+
+    Supports the overwhelmingly common profile: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no
+    interlace. Alpha is dropped (composited on black is wrong for
+    features; the descriptor stage wants the raw channels). Anything
+    outside the profile raises ValueError — loud, never silently wrong.
+    PNG spec is public (RFC 2083); no external codec needed: the only
+    compression is DEFLATE, which is stdlib zlib."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    idat = []
+    palette = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    px = _png_defilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 2:
+        return px
+    if color == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color == 3: palette
+    if palette is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    return palette[px[:, :, 0]]
+
+
+def _decode_bmp_pure(payload: bytes) -> np.ndarray:
+    """Pure-stdlib BMP decode → (h, w, 3) uint8. Uncompressed 24/32-bit
+    BI_RGB only (the common case); BGR(A) rows, 4-byte padded, bottom-up
+    unless height is negative. Out-of-profile raises ValueError."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP header")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    bits, compression = struct.unpack("<HI", payload[28:34])
+    if compression != 0 or bits not in (24, 32):
+        raise ValueError(f"unsupported BMP (bits={bits}, comp={compression})")
+    flip = h > 0
+    h = abs(h)
+    bypp = bits // 8
+    row_stride = (w * bypp + 3) & ~3
+    need = data_off + row_stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, np.uint8, row_stride * h, data_off
+    ).reshape(h, row_stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
+    if flip:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """→ (h, w, 3) uint8.
 
     Compressed payloads (JPEG/PNG/GIF/BMP magic) decode through PIL when
-    it is installed; without PIL they raise — loud, not a silently wrong
-    raw reinterpretation. Everything else is the raw-RGB layout: a
-    width×height×3 uint8 buffer (uncompressed PPM-style); short buffers
-    tile deterministically so metadata-driven shapes always decode."""
+    it is installed. Without PIL, PNG and BMP decode through the
+    pure-stdlib fallbacks (both formats need nothing beyond zlib/struct);
+    JPEG/GIF genuinely need a codec library and raise — loud, not a
+    silently wrong raw reinterpretation. Everything else is the raw-RGB
+    layout: a width×height×3 uint8 buffer (uncompressed PPM-style); short
+    buffers tile deterministically so metadata-driven shapes always
+    decode."""
     if _is_codec_image(payload, width, height):
-        if not _HAS_PIL:
-            raise NotImplementedError(
-                "compressed image payload (codec magic detected) needs PIL, "
-                "which is not installed in this container"
-            )
-        import io
+        if _HAS_PIL:
+            import io
 
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
-        return np.asarray(img, dtype=np.uint8)
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+        if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+            return _decode_png_pure(payload)
+        if payload.startswith(b"BM"):
+            return _decode_bmp_pure(payload)
+        raise NotImplementedError(
+            "JPEG/GIF image payload (codec magic detected) needs PIL, "
+            "which is not installed in this container"
+        )
     need = width * height * 3
     buf = np.frombuffer(payload, dtype=np.uint8)
     if len(buf) == 0:
@@ -125,24 +273,99 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return buf[:need].reshape(height, width, 3)
 
 
+def _decode_wav_pure(payload: bytes) -> np.ndarray:
+    """Pure-stdlib RIFF/WAVE decode → float32 mono in [-1, 1].
+
+    PCM 8/16/24/32-bit and IEEE float32 (format tags 1, 3, and the
+    WAVE_FORMAT_EXTENSIBLE wrapper 0xFFFE), any channel count
+    (mono-mixed). The WAV container is a trivial public chunk format —
+    no codec needed. Out-of-profile (ADPCM, µ-law, …) raises ValueError."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+            if fmt is not None:
+                break
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    tag, n_ch, _rate, _bps, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE and len(fmt) >= 26:
+        (tag,) = struct.unpack("<H", fmt[24:26])  # extensible: real tag
+    if tag == 3 and bits == 32:
+        wave = np.frombuffer(
+            data[: len(data) - len(data) % 4], "<f4"
+        ).astype(np.float32)
+    elif tag == 1 and bits == 16:
+        wave = (
+            np.frombuffer(data[: len(data) - len(data) % 2], "<i2").astype(
+                np.float32
+            )
+            / 32768.0
+        )
+    elif tag == 1 and bits == 8:  # 8-bit WAV is unsigned
+        wave = (
+            np.frombuffer(data, np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif tag == 1 and bits == 32:
+        wave = (
+            np.frombuffer(data[: len(data) - len(data) % 4], "<i4").astype(
+                np.float32
+            )
+            / 2147483648.0
+        )
+    elif tag == 1 and bits == 24:
+        b3 = np.frombuffer(
+            data[: len(data) - len(data) % 3], np.uint8
+        ).reshape(-1, 3)
+        ints = (
+            b3[:, 0].astype(np.int32)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | (b3[:, 2].astype(np.int32) << 16)
+        )
+        ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+        wave = ints.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported WAV format tag={tag} bits={bits}")
+    if n_ch > 1:
+        n = len(wave) - len(wave) % n_ch
+        wave = wave[:n].reshape(-1, n_ch).mean(axis=1)
+    return np.ascontiguousarray(wave, dtype=np.float32)
+
+
 def _decode_audio(payload: bytes) -> np.ndarray:
     """→ float32 mono waveform in [-1, 1].
 
     Compressed/container payloads (RIFF/OGG/FLAC magic) decode through
-    soundfile when installed; without it they raise. Everything else is
-    raw int16 little-endian mono PCM."""
+    soundfile when installed. Without it, RIFF/WAVE decodes through the
+    pure-stdlib fallback (PCM/float WAV needs no codec); OGG/FLAC
+    genuinely need a codec and raise. Everything else is raw int16
+    little-endian mono PCM."""
     if _is_codec_audio(payload):
-        if not _HAS_SOUNDFILE:
-            raise NotImplementedError(
-                "container audio payload (codec magic detected) needs "
-                "soundfile, which is not installed in this container"
-            )
-        import io
+        if _HAS_SOUNDFILE:
+            import io
 
-        wave, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
-        if wave.ndim > 1:
-            wave = wave.mean(axis=1)
-        return np.ascontiguousarray(wave, dtype=np.float32)
+            wave, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+            if wave.ndim > 1:
+                wave = wave.mean(axis=1)
+            return np.ascontiguousarray(wave, dtype=np.float32)
+        if payload.startswith(b"RIFF"):
+            return _decode_wav_pure(payload)
+        raise NotImplementedError(
+            "OGG/FLAC audio payload (codec magic detected) needs "
+            "soundfile, which is not installed in this container"
+        )
     n = len(payload) - (len(payload) % 2)
     if n == 0:
         return np.zeros(1, np.float32)

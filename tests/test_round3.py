@@ -531,14 +531,17 @@ def test_codec_image_routing_and_fallback():
     img = mm._decode_image(raw, 2, 2)
     assert img.shape == (2, 2, 3)
 
-    # compressed magic with a non-raw length routes to the codec tier
+    # compressed magic with a non-raw length routes to the codec tier;
+    # PNG decodes with or without PIL (pure-stdlib fallback) — a garbage
+    # body raises (PIL error / ValueError), never NotImplementedError
     png_like = b"\x89PNG\r\n\x1a\n" + bytes(100)
-    if mm._HAS_PIL:
-        with pytest.raises(Exception):  # not a real PNG body
-            mm._decode_image(png_like, 2, 2)
-    else:
+    with pytest.raises((ValueError, Exception)):  # not a real PNG body
+        mm._decode_image(png_like, 2, 2)
+    # JPEG is genuinely codec-bound: routes to PIL or raises loudly
+    jpg_like = b"\xff\xd8\xff" + bytes(100)
+    if not mm._HAS_PIL:
         with pytest.raises(NotImplementedError, match="PIL"):
-            mm._decode_image(png_like, 2, 2)
+            mm._decode_image(jpg_like, 2, 2)
 
 
 def test_codec_audio_routing_and_fallback():
@@ -550,13 +553,16 @@ def test_codec_audio_routing_and_fallback():
     # 'RIFF' without the WAVE fourcc is NOT routed to the codec tier
     riffish = b"RIFF" + bytes(60)
     assert len(mm._decode_audio(riffish)) == 32
+    # WAV decodes with or without soundfile (pure-stdlib fallback) — a
+    # truncated body raises (soundfile error / ValueError), never
+    # NotImplementedError
     wav_hdr = b"RIFF" + bytes(4) + b"WAVE" + bytes(52)
-    if mm._HAS_SOUNDFILE:
-        with pytest.raises(Exception):  # truncated/invalid WAV body
-            mm._decode_audio(wav_hdr)
-    else:
+    with pytest.raises((ValueError, Exception)):  # truncated WAV body
+        mm._decode_audio(wav_hdr)
+    # OGG is genuinely codec-bound
+    if not mm._HAS_SOUNDFILE:
         with pytest.raises(NotImplementedError, match="soundfile"):
-            mm._decode_audio(wav_hdr)
+            mm._decode_audio(b"OggS" + bytes(60))
 
 
 @pytest.mark.skipif(

@@ -248,3 +248,163 @@ def test_key_part_column_impl_pinned():
     c = key_part_column(col, 16, impl="crc32").to_pylist()
     d = key_part_column(col, 16, impl="crc32").to_pylist()
     assert c == d and c[0] == c[4] and c[3] == 0
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG/BMP/WAV fallback decoders (codec-absent container)
+# ---------------------------------------------------------------------------
+
+
+def _encode_png(img, color_type=2, filters=None):
+    """Minimal test-side PNG encoder (zlib + chosen per-row filter types)."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    px = img.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y, ft in enumerate(filters):
+        line = px[y]
+        if ft == 0:
+            enc = line
+        elif ft == 2:
+            enc = (line - prev) & 0xFF
+        elif ft == 1:
+            enc = line.copy()
+            enc[ch:] = (line[ch:] - line[:-ch]) & 0xFF
+        elif ft == 3:
+            enc = line.copy()
+            for i in range(w * ch):
+                left = line[i - ch] if i >= ch else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            enc = line.copy()
+            for i in range(w * ch):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c
+                )
+                enc[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pure_roundtrip_all_filters():
+    from quichash_ray.stages.multimodal import _decode_image
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    for filters in ([0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6,
+                    [0, 1, 2, 3, 4, 2]):
+        payload = _encode_png(img, filters=list(filters))
+        out = _decode_image(payload, 5, 6)
+        assert np.array_equal(out, img), filters
+
+
+def test_png_pure_gray_and_rgba():
+    from quichash_ray.stages.multimodal import _decode_image
+
+    rng = np.random.default_rng(8)
+    gray = rng.integers(0, 256, (4, 4, 1), dtype=np.uint8)
+    out = _decode_image(_encode_png(gray, color_type=0), 4, 4)
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    out = _decode_image(_encode_png(rgba, color_type=6), 4, 4)
+    assert np.array_equal(out, rgba[:, :, :3])
+
+
+def test_bmp_pure_roundtrip():
+    import struct
+
+    from quichash_ray.stages.multimodal import _decode_image
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB→BGR
+        rows.extend(row + b"\x00" * (stride - len(row)))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    )
+    out = _decode_image(header + bytes(rows), w, h)
+    assert np.array_equal(out, img)
+
+
+def test_wav_pure_roundtrip():
+    import io
+    import wave as wavmod
+
+    from quichash_ray.stages.multimodal import _decode_audio
+
+    rng = np.random.default_rng(10)
+    pcm = rng.integers(-32768, 32767, 200, dtype=np.int16)
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+    out = _decode_audio(buf.getvalue())
+    assert np.allclose(out, pcm.astype(np.float32) / 32768.0)
+    # stereo mixes to mono
+    stereo = np.stack([pcm, -pcm], axis=1).ravel()
+    buf2 = io.BytesIO()
+    with wavmod.open(buf2, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(stereo.tobytes())
+    out2 = _decode_audio(buf2.getvalue())
+    assert len(out2) == len(pcm)
+    assert np.allclose(out2, 0.0, atol=1 / 32768.0)  # L+R cancel
+
+
+def test_wav_pure_float32_and_8bit():
+    import struct
+
+    from quichash_ray.stages.multimodal import _decode_audio
+
+    samples = np.linspace(-1, 1, 64).astype(np.float32)
+
+    def wav(tag, bits, data):
+        fmt = struct.pack("<HHIIHH", tag, 1, 16000,
+                          16000 * bits // 8, bits // 8, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    out = _decode_audio(wav(3, 32, samples.tobytes()))
+    assert np.allclose(out, samples)
+    u8 = ((samples * 127) + 128).astype(np.uint8)
+    out8 = _decode_audio(wav(1, 8, u8.tobytes()))
+    assert np.allclose(out8, (u8.astype(np.float32) - 128) / 128)
