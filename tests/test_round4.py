@@ -408,3 +408,63 @@ def test_wav_pure_float32_and_8bit():
     u8 = ((samples * 127) + 128).astype(np.uint8)
     out8 = _decode_audio(wav(1, 8, u8.tobytes()))
     assert np.allclose(out8, (u8.astype(np.float32) - 128) / 128)
+
+
+# ---------------------------------------------------------------------------
+# hash_exchange GIANT regime: num_parts >= QUICHASH_EXCHANGE_STREAM_PARTS
+# must route to the streaming sort-groupby path (no materialization) and
+# produce identical per-partition results to the flat split/merge path
+# ---------------------------------------------------------------------------
+
+
+def test_exchange_giant_regime_streams_and_matches(ray_session, monkeypatch):
+    import ray.data
+
+    from quichash_ray.stages import exchange as ex
+
+    rng = np.random.default_rng(47)
+    P = 16
+    n = 2_000
+    part = rng.integers(0, P, n)
+    v = rng.integers(-1000, 1000, n)
+    t = pa.table(
+        {
+            "part": pa.array(part, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"p": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        p = np.asarray(g["part"], np.int64)
+        vv = np.asarray(g["v"], np.int64)
+        keys = np.unique(p)
+        return pa.table(
+            {
+                "p": pa.array(keys, pa.int64()),
+                "s": pa.array(
+                    [int(vv[p == k].sum()) for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    def run():
+        ds = ray.data.from_arrow([t.slice(0, 700), t.slice(700, 1300)])
+        return (
+            ex.hash_exchange(ds, "part", agg, P, drop_part=False)
+            .to_pandas()
+            .sort_values("p")
+            .reset_index(drop=True)
+        )
+
+    flat = run()
+    assert ex._LAST_REGIME in ("split", "split2")
+    # P >= stream threshold -> auto-routes to the streaming sort path
+    monkeypatch.setenv("QUICHASH_EXCHANGE_STREAM_PARTS", str(P))
+    giant = run()
+    assert ex._LAST_REGIME == "sort"
+    assert flat.equals(giant)
+    assert (flat["s"].to_numpy().sum()) == int(v.sum())
