@@ -1034,6 +1034,18 @@ def _q_clone_pairs(sf_dir: str):
     )
 
 
+def _q_normalized_dedup(sf_dir: str):
+    """Normalized (canonical-text) exact dedup — the C4-style tier between
+    byte-exact and fuzzy dedup: case/punctuation/whitespace variants
+    collapse to one canonical form and dedup on its md5. Run over the
+    case-variant scenario (doc_id%6==0 docs get an upper-cased,
+    punctuation-wrapped copy that byte-exact dedup misses)."""
+    from quichash_ray.pipelines.derived import case_variants
+    from quichash_ray.pipelines.normdedup import normalized_dup_groups
+
+    return normalized_dup_groups(case_variants(_docs(sf_dir)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -1088,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontaminate": _q_ngram_decontaminate,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
+        "normalized_dedup": _q_normalized_dedup,
     }
 
 
@@ -1096,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 from quichash_ray.pipelines.derived import (  # noqa: E402
+    CASE_VARIANTS_SQL,
     CLONE_PLANTED_SQL,
     CODE_PLANTED_SQL,
     COMPARE_SCENARIO_SQL,
@@ -1936,5 +1950,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM documents
             QUALIFY rnk <= 10
+        """,
+        # normalized (canonical-text) dedup over the case-variant
+        # scenario: lower → strip non-[a-z0-9 ws] runs to ' ' → collapse
+        # ws → trim — the literal RE2 mirror of normdedup.canonical_text
+        "normalized_dedup": f"""
+            WITH {CASE_VARIANTS_SQL.strip().rstrip()},
+            canon AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(regexp_replace(
+                               lower(text),
+                               '[^a-z0-9 \t\n\f\r]+', ' ', 'g'),
+                               '[ \t\n\f\r]+', ' ', 'g'), ' ')) AS digest
+                FROM cv WHERE text IS NOT NULL
+            )
+            SELECT digest, count(*)::BIGINT AS cnt,
+                   min(doc_id)::BIGINT AS rep
+            FROM canon GROUP BY digest HAVING count(*) >= 2
         """,
     }

@@ -825,3 +825,100 @@ lp AS (
     FROM documents
 )
 """
+
+
+def case_variants(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → CV: every document verbatim, plus — for doc_id%6==0 —
+    a 'case variant' copy (doc_id + 10_000_000) whose text is
+    ``' ' || upper(text) || ' !!!'``: identical after C4-style
+    canonicalization (lowercase, punctuation→space, whitespace collapse)
+    but a different byte string, so exact dedup misses it and
+    normalized dedup must catch it. Mirrored literally in
+    ``CASE_VARIANTS_SQL``."""
+
+    def expand(b: pa.Table) -> pa.Table:
+        sel = b.filter(_mod_eq(b["doc_id"], 6, 0))
+        vtext = pc.binary_join_element_wise(
+            pa.scalar(" "),
+            pc.utf8_upper(sel[text_col]),
+            pa.scalar(" !!!"),
+            pa.scalar(""),
+        )
+        vid = pc.add(sel["doc_id"], pa.scalar(10_000_000, pa.int64()))
+        return pa.concat_tables(
+            [
+                pa.table({"doc_id": b["doc_id"], "text": b[text_col]}),
+                pa.table({"doc_id": pc.cast(vid, pa.int64()), "text": vtext}),
+            ]
+        )
+
+    return ds.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+CASE_VARIANTS_SQL = """
+cv AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id,
+           ' ' || upper(text) || ' !!!' AS text
+    FROM documents WHERE doc_id % 6 = 0
+)
+"""
+
+
+def fuzzy_eval(ds: Dataset, text_col: str = "text") -> Dataset:
+    """documents → FE: a fuzzy-leaked eval corpus — for doc_id%11==0,
+    the document with every 1-based token position i where i%10==8
+    REMOVED (≈10% token deletion): a near-duplicate that exact and
+    13-gram decontamination miss but shingle-containment catches.
+    Mirrored literally in ``FUZZY_EVAL_SQL``."""
+    import re
+
+    tok_re = re.compile(r"\S+")
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_t = [], []
+        for i, t in zip(ids, texts):
+            if t is None or i % 11 != 0:
+                continue
+            toks = [
+                tok
+                for j, tok in enumerate(tok_re.findall(t), start=1)
+                if j % 10 != 8
+            ]
+            if not toks:
+                continue
+            out_id.append(i)
+            out_t.append(" ".join(toks))
+        return pa.table(
+            {
+                "eval_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    return ds.map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+FUZZY_EVAL_SQL = r"""
+fe AS (
+    SELECT doc_id AS eval_id,
+           string_agg(t[i], ' ' ORDER BY i) AS text
+    FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        FROM (
+            SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id % 11 = 0
+        )
+    )
+    WHERE i % 10 <> 8
+    GROUP BY doc_id
+)
+"""

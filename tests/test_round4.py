@@ -468,3 +468,77 @@ def test_exchange_giant_regime_streams_and_matches(ray_session, monkeypatch):
     assert ex._LAST_REGIME == "sort"
     assert flat.equals(giant)
     assert (flat["s"].to_numpy().sum()) == int(v.sum())
+
+
+# ---------------------------------------------------------------------------
+# normalized (canonical-text) dedup: case/punct/ws variants collapse; byte
+# distinctions that survive canonicalization do not
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_text_kernel():
+    from quichash_ray.pipelines.normdedup import canonical_text
+
+    arr = pa.array(
+        [
+            "Hello,   World!",
+            " hello world ",
+            "HELLO\t\nWORLD??",
+            "hello worlds",  # different after canon
+            None,
+        ]
+    )
+    got = canonical_text(arr).to_pylist()
+    assert got == [
+        "hello world",
+        "hello world",
+        "hello world",
+        "hello worlds",
+        None,
+    ]
+
+
+def test_normalized_dup_groups(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.normdedup import normalized_dup_groups
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "The cat;  sat.",
+                " the CAT sat !!!",
+                "the cat sat",
+                "an unrelated doc",
+                None,  # null text: no row, no group membership
+                "the cat sat on",  # survives canon as distinct
+            ],
+        }
+    )
+    out = (
+        normalized_dup_groups(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("rep")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 1
+    assert out.loc[0, "cnt"] == 3 and out.loc[0, "rep"] == 0
+
+
+def test_case_variants_scenario(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.derived import case_variants
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 5, 6, 7], pa.int64()),
+            "text": ["Zero doc.", "five", "Six doc!", "seven"],
+        }
+    )
+    out = case_variants(ray.data.from_arrow(t)).to_pandas()
+    # 4 originals + 2 variants (doc_id 0 and 6)
+    assert len(out) == 6
+    v = out[out.doc_id >= 10_000_000].sort_values("doc_id")
+    assert list(v.text) == [" ZERO DOC. !!!", " SIX DOC! !!!"]
