@@ -1046,6 +1046,23 @@ def _q_normalized_dedup(sf_dir: str):
     return normalized_dup_groups(case_variants(_docs(sf_dir)))
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """BPE merge-step primitive: top-200 most frequent adjacent token
+    pairs (combiner pattern — shuffle carries pair-vocabulary partial
+    counts, never token instances), deterministic (cnt DESC, pair ASC)."""
+    from quichash_ray.pipelines.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir), k=200)
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact discrete token-length quantiles (p10..p99) via the bounded
+    value-count combiner; matches DuckDB quantile_disc bit-for-bit."""
+    from quichash_ray.pipelines.textstats import doc_length_quantiles
+
+    return doc_length_quantiles(_docs(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -1101,6 +1118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_stats": _q_chunk_dedup_stats,
         "cdc_dedup_stats": _q_cdc_dedup_stats,
         "normalized_dedup": _q_normalized_dedup,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "doc_length_quantiles": _q_doc_length_quantiles,
     }
 
 
@@ -1967,5 +1986,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # BPE merge step: top-200 adjacent token pairs, (cnt DESC, pair)
+        "bpe_pair_counts": r"""
+            WITH toks AS (
+                SELECT list_filter(
+                    string_split_regex(text, '[ \t\n\f\r]+'),
+                    t -> t <> ''
+                ) AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            pairs AS (
+                SELECT tk[g.i] || ' ' || tk[g.i + 1] AS pair
+                FROM toks,
+                     LATERAL (
+                       SELECT unnest(generate_series(1, len(tk) - 1)) AS i
+                     ) g
+            )
+            SELECT pair, count(*)::BIGINT AS cnt
+            FROM pairs GROUP BY pair
+            ORDER BY cnt DESC, pair
+            LIMIT 200
+        """,
+        # exact discrete token-length quantiles (quantile_disc semantics)
+        "doc_length_quantiles": r"""
+            WITH lens AS (
+                SELECT len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT quantile_disc(n, 0.10)::BIGINT AS p10,
+                   quantile_disc(n, 0.25)::BIGINT AS p25,
+                   quantile_disc(n, 0.50)::BIGINT AS p50,
+                   quantile_disc(n, 0.75)::BIGINT AS p75,
+                   quantile_disc(n, 0.90)::BIGINT AS p90,
+                   quantile_disc(n, 0.99)::BIGINT AS p99,
+                   count(*)::BIGINT AS n_docs
+            FROM lens
         """,
     }

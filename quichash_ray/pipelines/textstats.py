@@ -256,3 +256,147 @@ def gopher_quality(
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def bpe_pair_counts(
+    ds: Dataset, k: int = 200, text_col: str = "text"
+) -> Dataset:
+    """Adjacent-token-pair frequency table, top-k — the BPE merge-step
+    primitive (Sennrich et al. 2016): each training iteration merges the
+    most frequent adjacent pair; this operator is that counting step,
+    distributed.
+
+    Shape: the same combiner pattern as :func:`vocab_topk` — per-batch
+    numpy pair construction over the flattened token lists (list-boundary
+    pairs masked out, empty boundary tokens excluded) → per-batch partial
+    counts → groupby-sum over (pair, partial) rows → deterministic
+    (count DESC, pair ASC) top-k. The shuffle carries pair-vocabulary
+    rows, never token instances.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {"pair": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        lists = pc.split_pattern_regex(text, pattern=r"[ \t\n\f\r]+")
+        lists = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray
+        ) else lists
+        vals = lists.flatten()  # values of VALID lists only (nulls skipped)
+        n = len(vals)
+        if n < 2:
+            return empty
+        # pair (i, i+1) is valid when it doesn't cross a list boundary and
+        # neither side is the empty boundary token (the split regex
+        # collapses runs, so '' can only appear at list edges — dropping
+        # those pairs is exactly the oracle's list_filter(t <> '')).
+        # Boundaries come from value lengths (null→0), NOT lists.offsets,
+        # which misaligns with flatten() under null lists / array offsets.
+        valid = np.ones(n - 1, dtype=bool)
+        ll = np.asarray(pc.list_value_length(lists).fill_null(0), dtype=np.int64)
+        cum = np.cumsum(ll)
+        edges = cum[(cum > 0) & (cum < n)] - 1
+        valid[edges] = False
+        nonempty = np.asarray(pc.not_equal(vals, "").fill_null(False))
+        valid &= nonempty[:-1] & nonempty[1:]
+        if not valid.any():
+            return empty
+        pairs = pc.binary_join_element_wise(
+            vals.slice(0, n - 1), vals.slice(1), pa.scalar(" ")
+        ).filter(pa.array(valid))
+        vc = pd.Series(pairs.to_pandas().values).value_counts()
+        return pa.table(
+            {
+                "pair": pa.array(vc.index.to_numpy(), pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("pair").sum("cnt")
+
+    def rename(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(cnt)" not in b.column_names:
+            return empty
+        return pa.table(
+            {"pair": b["pair"], "cnt": pc.cast(b["sum(cnt)"], pa.int64())}
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow", batch_size=None)
+        .sort(["cnt", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def doc_length_quantiles(
+    ds: Dataset,
+    quantiles: tuple[float, ...] = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99),
+    text_col: str = "text",
+) -> pa.Table:
+    """Exact discrete token-length quantiles of the corpus — the
+    length-filter calibration step of a training-data pipeline (pick
+    truncation/minimum thresholds from the real distribution, not guesses).
+
+    Shape: per-batch value counts of the per-doc token count (a bounded
+    table — one row per DISTINCT length, ≤ max doc length regardless of
+    corpus size) → groupby-sum → the bounded aggregate comes to the driver
+    where the discrete quantile rule is applied over the cumulative
+    counts. Matches DuckDB ``quantile_disc`` exactly: the smallest length
+    whose cumulative count ≥ ceil(q·n) (same double arithmetic both
+    sides). Returns a one-row pa.Table (p10..p99, n_docs).
+    """
+    import math
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        n_tok = pc.count_substring_regex(text, pattern=r"[^ \t\n\f\r]+")
+        n_tok = pc.cast(n_tok, pa.int64()).drop_null()
+        if len(n_tok) == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vals, counts = np.unique(np.asarray(n_tok), return_counts=True)
+        return pa.table(
+            {"n": pa.array(vals, pa.int64()),
+             "cnt": pa.array(counts.astype(np.int64))}
+        )
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby("n").sum("cnt")
+
+    # bounded by the number of distinct document lengths — safe to collect
+    rows = agg.take_all()
+    if not rows:
+        cols = {f"p{int(q * 100)}": pa.array([None], pa.int64())
+                for q in quantiles}
+        cols["n_docs"] = pa.array([0], pa.int64())
+        return pa.table(cols)
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    cs = np.array([r["sum(cnt)"] for r in rows], dtype=np.int64)
+    order = np.argsort(ns)
+    ns, cs = ns[order], cs[order]
+    cum = np.cumsum(cs)
+    total = int(cum[-1])
+    cols = {}
+    for q in quantiles:
+        rank = max(1, math.ceil(q * total))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        cols[f"p{int(q * 100)}"] = pa.array([int(ns[idx])], pa.int64())
+    cols["n_docs"] = pa.array([total], pa.int64())
+    return pa.table(cols)

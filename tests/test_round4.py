@@ -542,3 +542,85 @@ def test_case_variants_scenario(ray_session):
     assert len(out) == 6
     v = out[out.doc_id >= 10_000_000].sort_values("doc_id")
     assert list(v.text) == [" ZERO DOC. !!!", " SIX DOC! !!!"]
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts: list-boundary and empty-token handling; combiner totals
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import bpe_pair_counts
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": [
+                "a b a b",      # (a b)x2, (b a)x1
+                " a b ",        # boundary empties dropped: (a b)x1
+                "c",            # no pairs
+                None,           # null list: no pairs, no boundary poison
+                "b a",          # (b a)x1
+            ],
+        }
+    )
+    out = bpe_pair_counts(ray.data.from_arrow(t), k=10).to_pandas()
+    got = dict(zip(out["pair"], out["cnt"]))
+    assert got == {"a b": 3, "b a": 2}
+    # deterministic order: cnt DESC, pair ASC
+    assert list(out["pair"]) == ["a b", "b a"]
+
+
+def test_bpe_pair_counts_cross_doc_pairs_not_counted(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import bpe_pair_counts
+
+    # doc ends with 'x', next begins with 'y' — 'x y' must NOT appear
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["q x", "y q"],
+        }
+    )
+    out = bpe_pair_counts(ray.data.from_arrow(t), k=10).to_pandas()
+    assert set(out["pair"]) == {"q x", "y q"}
+
+
+def test_doc_length_quantiles_matches_duckdb_rule(ray_session):
+    import duckdb
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import doc_length_quantiles
+
+    # 10 docs with token counts 1..10 (+1 null doc, skipped)
+    texts = [" ".join(["w"] * n) for n in range(1, 11)] + [None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": texts,
+        }
+    )
+    got = doc_length_quantiles(ray.data.from_arrow(t)).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = con.execute(
+        r"""
+        WITH lens AS (
+          SELECT len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS n
+          FROM docs WHERE text IS NOT NULL
+        )
+        SELECT quantile_disc(n, 0.10)::BIGINT AS p10,
+               quantile_disc(n, 0.25)::BIGINT AS p25,
+               quantile_disc(n, 0.50)::BIGINT AS p50,
+               quantile_disc(n, 0.75)::BIGINT AS p75,
+               quantile_disc(n, 0.90)::BIGINT AS p90,
+               quantile_disc(n, 0.99)::BIGINT AS p99,
+               count(*)::BIGINT AS n_docs
+        FROM lens
+        """
+    ).df()
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    assert got.loc[0, "n_docs"] == 10 and got.loc[0, "p50"] == 5
