@@ -1063,6 +1063,20 @@ def _q_doc_length_quantiles(sf_dir: str):
     return doc_length_quantiles(_docs(sf_dir))
 
 
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """Shingle-containment decontamination: the fuzzy_eval scenario plants
+    10%-token-deleted copies of doc_id%11==0 docs as the eval set — no
+    shared verbatim 13-gram survives, but ≥half their 5-gram shingles do;
+    a train doc is contaminated when 2·shared ≥ n_eval (int64-exact)."""
+    from quichash_ray.pipelines.decontam import fuzzy_decontaminate
+    from quichash_ray.pipelines.derived import fuzzy_eval
+
+    docs = _docs(sf_dir)
+    return fuzzy_decontaminate(
+        docs, fuzzy_eval(docs), k=5, threshold_num=1, threshold_den=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -1120,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
     }
 
 
@@ -1133,6 +1148,7 @@ from quichash_ray.pipelines.derived import (  # noqa: E402
     CODE_PLANTED_SQL,
     COMPARE_SCENARIO_SQL,
     DUP_PLANTED_SQL,
+    FUZZY_EVAL_SQL,
     INCREMENTAL_NEW_SQL,
     LINE_PLANTED_SQL,
     MIXED_VERIFY_SCENARIO_SQL,
@@ -2007,6 +2023,51 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY cnt DESC, pair
             LIMIT 200
+        """,
+        # fuzzy (5-gram containment) decontamination vs the token-deleted
+        # eval scenario: 2*shared >= n_eval, train-side gram df capped at
+        # 256 on both sides (never binds at these scales; mirrored anyway)
+        "fuzzy_decontaminate": f"""
+            WITH {FUZZY_EVAL_SQL.strip().rstrip()},
+            ttk AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tg AS (
+                SELECT DISTINCT t.doc_id,
+                       md5(array_to_string(t.tk[g.i+1 : g.i+5], ' ')) AS h
+                FROM ttk t,
+                     LATERAL (
+                       SELECT unnest(generate_series(0, len(t.tk)-5)) AS i
+                     ) g
+            ),
+            etk AS (
+                SELECT eval_id, regexp_extract_all(text, '\\S+') AS tk
+                FROM fe WHERE text IS NOT NULL
+            ),
+            eg AS (
+                SELECT DISTINCT e.eval_id,
+                       md5(array_to_string(e.tk[g.i+1 : g.i+5], ' ')) AS h
+                FROM etk e,
+                     LATERAL (
+                       SELECT unnest(generate_series(0, len(e.tk)-5)) AS i
+                     ) g
+            ),
+            dfc AS (SELECT h, count(*) AS c FROM tg GROUP BY h),
+            tgk AS (
+                SELECT tg.doc_id, tg.h FROM tg
+                JOIN dfc USING (h) WHERE dfc.c <= 256
+            ),
+            et AS (SELECT eval_id, count(*) AS n FROM eg GROUP BY 1),
+            pr AS (
+                SELECT tgk.doc_id, eg.eval_id, count(*) AS shared
+                FROM tgk JOIN eg USING (h)
+                GROUP BY 1, 2
+            )
+            SELECT pr.doc_id, pr.eval_id, pr.shared::BIGINT AS shared,
+                   et.n::BIGINT AS n_eval
+            FROM pr JOIN et USING (eval_id)
+            WHERE 2 * pr.shared >= et.n
         """,
         # exact discrete token-length quantiles (quantile_disc semantics)
         "doc_length_quantiles": r"""

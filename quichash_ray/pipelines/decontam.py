@@ -642,3 +642,166 @@ def _decontaminate_join(
         return keep_tbl.select(names)
 
     return hash_exchange([left, right], "part", anti, num_parts)
+
+
+def fuzzy_decontaminate(
+    train: Dataset,
+    test: Dataset,
+    k: int = 5,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    gram_cap: int | None = 256,
+    num_bands: int = 32,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Fuzzy (shingle-containment) decontamination — the tier above
+    :func:`ngram_decontaminate`: an eval document whose text was lightly
+    edited before leaking into the training set (token dropout,
+    paraphrase fragments) shares no long verbatim 13-gram, but most of
+    its k-token shingles survive. A train doc is contaminated by an eval
+    doc when the eval doc's DISTINCT k-gram set is ≥ p/q contained in
+    the train doc's: q·shared ≥ p·n_eval, int64-exact on both engine and
+    oracle.
+
+    → (doc_id, eval_id, shared, n_eval) — one row per contaminated
+    (train, eval) pair.
+
+    Shape (cross-corpus variant of ngram.candidate_pair_counts): both
+    corpora shingle into (id, gram) rows [stateless map] → one band-key
+    shuffle co-locates every gram's rows → per-band vectorized numpy
+    cross-join emits eval×train pairs per gram (train-side df > ``gram_cap``
+    drops the gram, metered — boilerplate-gram quadratic guard; the eval
+    side is bounded by contract: eval corpora are benchmark-sized) →
+    groupby(pair) sum → eval gram totals attach via
+    :func:`~quichash_ray.stages.lookup.attach_lookup` (broadcast↔join
+    tiers). The shuffle carries (gram, id) rows only — never text.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from quichash_ray.pipelines.ngram import gram_totals, shingle_table
+    from quichash_ray.stages.lookup import attach_lookup
+    from quichash_ray.state.metrics import get_metrics_actor
+
+    metrics = get_metrics_actor()
+    cap = gram_cap if gram_cap is not None else np.iinfo(np.int64).max
+    p, q = threshold_num, threshold_den
+
+    tr_sh = shingle_table(train, k, id_col, text_col)
+    ev_sh = shingle_table(test, k, eval_id_col, text_col)
+    ev_totals = gram_totals(ev_sh, eval_id_col)
+
+    def tag(side: int, col: str):
+        def f(b: pa.Table) -> pa.Table:
+            grams = np.asarray(b["gram"], np.int64)
+            band = (grams.view(np.uint64) % np.uint64(num_bands)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "rid": b[col],
+                    "gram": b["gram"],
+                    "side": pa.array(
+                        np.full(b.num_rows, side, np.int8)
+                    ),
+                    "band": pa.array(band),
+                }
+            )
+
+        return f
+
+    tagged = tr_sh.map_batches(
+        tag(1, id_col), batch_format="pyarrow", batch_size=None
+    ).union(
+        ev_sh.map_batches(
+            tag(0, eval_id_col), batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: np.empty(0, np.int64),
+                eval_id_col: np.empty(0, np.int64),
+                "partial": np.empty(0, np.int64),
+            }
+        )
+        grams = g["gram"].to_numpy()
+        rids = g["rid"].to_numpy()
+        sides = g["side"].to_numpy()
+        order = np.lexsort((rids, sides, grams))
+        grams, rids, sides = grams[order], rids[order], sides[order]
+        uniq, start, cnt = np.unique(
+            grams, return_index=True, return_counts=True
+        )
+        out_t: list[np.ndarray] = []
+        out_e: list[np.ndarray] = []
+        dropped = 0
+        for s, c in zip(start, cnt):
+            sd = sides[s : s + c]
+            n_ev = int(np.searchsorted(sd, 1))  # sides sorted 0..1
+            n_tr = c - n_ev
+            if n_ev == 0 or n_tr == 0:
+                continue
+            if n_tr > cap:
+                dropped += 1
+                continue
+            ev = rids[s : s + n_ev]
+            tr = rids[s + n_ev : s + c]
+            out_t.append(np.repeat(tr, n_ev))
+            out_e.append(np.tile(ev, n_tr))
+        if dropped:
+            metrics.add.remote("fuzzy_decontam_dropped_grams", dropped)
+        if not out_t:
+            return empty
+        df = pd.DataFrame(
+            {id_col: np.concatenate(out_t), eval_id_col: np.concatenate(out_e)}
+        )
+        counts = df.value_counts([id_col, eval_id_col]).reset_index(
+            name="partial"
+        )
+        return counts.astype(
+            {id_col: np.int64, eval_id_col: np.int64, "partial": np.int64}
+        )
+
+    shared = (
+        tagged.groupby("band")
+        .map_groups(cross_pairs, batch_format="pandas")
+        .groupby([id_col, eval_id_col])
+        .aggregate(Sum("partial", alias_name="shared"))
+    )
+
+    with_tot = attach_lookup(
+        shared,
+        ev_totals,
+        key_col=eval_id_col,
+        value_col="n_grams",
+        out_col="n_eval",
+        key_col_in_mapping=eval_id_col,
+        num_partitions=num_partitions,
+    )
+
+    def flt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sh = pc.cast(b["shared"], pa.int64())
+        ne = pc.cast(b["n_eval"], pa.int64())
+        out = pa.table(
+            {
+                id_col: b[id_col],
+                eval_id_col: b[eval_id_col],
+                "shared": sh,
+                "n_eval": ne,
+            }
+        )
+        return out.filter(
+            pc.greater_equal(
+                pc.multiply(pa.scalar(q, pa.int64()), sh),
+                pc.multiply(pa.scalar(p, pa.int64()), ne),
+            )
+        )
+
+    return with_tot.map_batches(flt, batch_format="pyarrow", batch_size=None)

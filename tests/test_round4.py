@@ -624,3 +624,67 @@ def test_doc_length_quantiles_matches_duckdb_rule(ray_session):
     ).df()
     assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
     assert got.loc[0, "n_docs"] == 10 and got.loc[0, "p50"] == 5
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (shingle-containment) decontamination: cross-corpus pairs only,
+# integer-exact threshold, train-df gram cap
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_decontaminate_detects_token_dropout(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.decontam import fuzzy_decontaminate
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november oscar papa"
+    toks = base.split()
+    # eval doc: drop every 8th token (~12% dropout) — no 13-gram survives
+    # but most 5-grams do
+    leaked = " ".join(t for i, t in enumerate(toks, 1) if i % 8 != 0)
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [base, "zulu yankee xray whiskey victor uniform tango sierra"],
+            }
+        )
+    )
+    test = ray.data.from_arrow(
+        pa.table(
+            {"eval_id": pa.array([7], pa.int64()), "text": [leaked]}
+        )
+    )
+    out = fuzzy_decontaminate(
+        train, test, k=5, threshold_num=1, threshold_den=2
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["doc_id"] == 1 and r["eval_id"] == 7
+    assert 2 * r["shared"] >= r["n_eval"] and r["shared"] < r["n_eval"]
+
+
+def test_fuzzy_decontaminate_gram_cap_drops_boilerplate(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.decontam import fuzzy_decontaminate
+
+    boiler = "one two three four five"
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [boiler, boiler, boiler],
+            }
+        )
+    )
+    test = ray.data.from_arrow(
+        pa.table({"eval_id": pa.array([9], pa.int64()), "text": [boiler]})
+    )
+    # df=3 > cap=2 → the single gram drops on every side: no pairs at all
+    out = fuzzy_decontaminate(train, test, k=5, gram_cap=2).to_pandas()
+    assert len(out) == 0
+    # with the cap off, all three train docs are fully contained pairs
+    out2 = fuzzy_decontaminate(train, test, k=5, gram_cap=None).to_pandas()
+    assert len(out2) == 3 and set(out2["doc_id"]) == {1, 2, 3}
+    assert (out2["shared"] == 1).all() and (out2["n_eval"] == 1).all()
