@@ -527,12 +527,14 @@ def _corpus_ds(sf_dir: str):
 
 def _q_corpus_fuzzy_clusters(sf_dir: str):
     """Full MinHash/LSH + SimHash + union-find clustering (north_star core).
-    Non-SQL-expressible → rows-only driver check; the recall gate lives in
-    tests/test_fuzzy.py against the truth sidecar."""
-    from quichash_ray.pipelines.fuzzy import fuzzy_dedup
+    Non-SQL-expressible → rows-only driver check, but every row carries the
+    constant truth_recall_bp column (dup-pair recall vs the planted-truth
+    sidecar) so the record is correctness-bearing, not bare membership;
+    the ≥0.99 recall gate also lives in tests/test_fuzzy.py."""
+    from quichash_ray.pipelines.fuzzy import attach_truth_recall, fuzzy_dedup
 
-    corpus, _ = _corpus_ds(sf_dir)
-    return fuzzy_dedup(corpus)
+    corpus, truth_dir = _corpus_ds(sf_dir)
+    return attach_truth_recall(fuzzy_dedup(corpus), truth_dir)
 
 
 def _q_corpus_recall_report(sf_dir: str):
@@ -915,11 +917,15 @@ def _q_events_asof_join(sf_dir: str):
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style embedding dedup: IVF-bucketed cosine near-dup pairs →
     connected components → min-id representative per component, keep flag
-    per vector. Rows-only (iterative CC); gate in tests/test_round3b.py
-    against a brute-force exact reference."""
-    from quichash_ray.pipelines.similarity import semantic_dedup
+    per vector. Rows-only (iterative CC), but every row carries the
+    constant agreement_bp column — rep_id agreement vs a brute-force exact
+    pipeline — so the record is correctness-bearing; the ≥95% gate also
+    lives in tests/test_round3b.py."""
+    from quichash_ray.pipelines.similarity import semantic_dedup_report
 
-    return semantic_dedup(_emb(sf_dir), threshold=0.4, nlist=16, nprobe=4)
+    return semantic_dedup_report(
+        _emb(sf_dir), threshold=0.4, nlist=16, nprobe=4
+    )
 
 
 def _q_hash_sample(sf_dir: str):

@@ -654,3 +654,69 @@ def fuzzy_dedup(
         )
 
     return assigned.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def attach_truth_recall(
+    pred: Dataset, truth_path: str, id_col: str = "row_id"
+) -> Dataset:
+    """→ the same (row_id, cluster_id, rep) rows with a constant
+    ``truth_recall_bp`` column: dup-pair recall of the predicted
+    clustering against the planted-truth sidecar (10000 = every truth
+    pair co-clustered) — the BASELINE.json dup-pair-recall criterion
+    carried in the query output itself, so the driver's rows-only record
+    is correctness-bearing rather than bare membership.
+
+    Cost shape: the truth sidecar is bounded (planted clusters only);
+    truth-member predicted labels are filtered out of the streamed
+    prediction via one broadcast of the sorted truth-id array, and the
+    recall is the vectorized pair identity Σ C(m,2) — no pair
+    enumeration: required = Σ_truth-cluster C(sz,2), found =
+    Σ_(truth-cluster × predicted-label) C(m,2).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from quichash_ray.stages.broadcast import cached_get
+
+    truth = pq.read_table(truth_path).to_pandas()
+    pred = pred.materialize()  # consumed twice: metric pass + output
+    tids = np.sort(truth[id_col].to_numpy().astype(np.int64))
+    ref = ray.put(tids)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        nodes = cached_get(ref)
+        ids = np.asarray(b[id_col], np.int64)
+        if len(nodes) == 0 or len(ids) == 0:
+            mask = np.zeros(len(ids), bool)
+        else:
+            pos = np.clip(np.searchsorted(nodes, ids), 0, len(nodes) - 1)
+            mask = nodes[pos] == ids
+        return pa.table(
+            {
+                id_col: pa.array(ids[mask], pa.int64()),
+                "cluster_id": pa.array(
+                    np.asarray(b["cluster_id"], np.int64)[mask], pa.int64()
+                ),
+            }
+        )
+
+    sub = pred.map_batches(
+        member_rows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()  # truth-sized
+    m = truth.merge(sub, on=id_col, suffixes=("_true", "_pred"))
+    sz = m.groupby("cluster_id_true").size()
+    required = int((sz * (sz - 1) // 2).sum())
+    f = m.groupby(["cluster_id_true", "cluster_id_pred"]).size()
+    found = int((f * (f - 1) // 2).sum())
+    bp = (10000 * found) // required if required else 10000
+
+    def attach(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "truth_recall_bp",
+            pa.array(np.full(b.num_rows, bp, np.int64)),
+        )
+
+    return pred.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -985,3 +985,82 @@ def semantic_dedup(
     return out.map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def semantic_dedup_report(
+    ds: Dataset,
+    threshold: float = 0.5,
+    nlist: int = 32,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    **ivf_kwargs,
+) -> Dataset:
+    """:func:`semantic_dedup` with its exact-reference agreement carried in
+    the output: the same (vec_id, rep_id, keep) rows plus a constant
+    ``agreement_bp`` column — the share of vectors whose rep_id matches a
+    brute-force pipeline (exact cosine pairs → exact union-find → min-id
+    rep), in basis points. Makes the driver's rows-only record
+    correctness-bearing; the pytest gate holds agreement ≥ 9500.
+
+    Cost shape: the exact side reuses :func:`cosine_neardup_pairs`
+    (blocked O(n²) scan — a report tool, keep it at benchmark scale, like
+    :func:`embedding_recall_report`); its pair list is near-dup-bounded so
+    the driver union-find is small, and the per-vector comparison streams
+    with one broadcast of the sorted (node, rep) arrays.
+    """
+    import ray
+
+    from quichash_ray.stages.broadcast import cached_get
+    from quichash_ray.stages.unionfind import driver_union_find
+
+    out = semantic_dedup(
+        ds, threshold, nlist=nlist, nprobe=nprobe,
+        id_col=id_col, emb_col=emb_col, **ivf_kwargs,
+    ).materialize()  # consumed twice: agreement pass + output
+
+    exact = cosine_neardup_pairs(
+        ds, threshold, id_col=id_col, emb_col=emb_col
+    ).to_pandas()  # bounded by the exact near-dup pair count
+    root = driver_union_find(
+        list(zip(exact[f"{id_col}_a"], exact[f"{id_col}_b"]))
+    )
+    comp_min: dict[int, int] = {}
+    for n, r in root.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    items = sorted((n, comp_min[r]) for n, r in root.items())
+    nodes = np.array([i[0] for i in items], np.int64)
+    reps = np.array([i[1] for i in items], np.int64)
+    ref = ray.put((nodes, reps))
+
+    def agree_partial(b: pa.Table) -> pa.Table:
+        nd, rp = cached_get(ref)
+        ids = np.asarray(b[id_col], np.int64)
+        got_rep = np.asarray(b["rep_id"], np.int64)
+        if len(nd) and len(ids):
+            pos = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            want = np.where(nd[pos] == ids, rp[pos], ids)
+        else:
+            want = ids
+        return pa.table(
+            {
+                "match": pa.array([int((want == got_rep).sum())], pa.int64()),
+                "total": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    parts = out.map_batches(
+        agree_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    total = int(parts["total"].sum())
+    bp = (10000 * int(parts["match"].sum())) // total if total else 10000
+
+    def attach(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "agreement_bp", pa.array(np.full(b.num_rows, bp, np.int64))
+        )
+
+    return out.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

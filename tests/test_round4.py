@@ -688,3 +688,82 @@ def test_fuzzy_decontaminate_gram_cap_drops_boilerplate(ray_session):
     out2 = fuzzy_decontaminate(train, test, k=5, gram_cap=None).to_pandas()
     assert len(out2) == 3 and set(out2["doc_id"]) == {1, 2, 3}
     assert (out2["shared"] == 1).all() and (out2["n_eval"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# distributed CC hash-min at scale shape: forced hashmin + forced join tier
+# on a deep chain graph (diameter 48 → multi-round pointer doubling), must
+# equal the numpy reference exactly
+# ---------------------------------------------------------------------------
+
+
+def test_hashmin_forced_join_tier_deep_chain(ray_session, monkeypatch):
+    import ray.data
+
+    from quichash_ray.stages import lookup as lookup_mod
+    from quichash_ray.stages.unionfind import (
+        connected_components,
+        numpy_components,
+    )
+
+    real = lookup_mod.attach_lookup
+
+    def forced_join(*args, **kwargs):
+        kwargs["broadcast_limit"] = 0  # every lookup takes the join tier
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(lookup_mod, "attach_lookup", forced_join)
+
+    # chain 100..148 (diameter 48: >= 4 doubling rounds), a triangle, and
+    # a star — mixed component shapes, shuffled edge order
+    ea = list(range(100, 148)) + [7, 8, 9] + [500, 500, 500]
+    eb = list(range(101, 149)) + [8, 9, 7] + [501, 502, 503]
+    rng = np.random.default_rng(3)
+    order = rng.permutation(len(ea))
+    ea = np.array(ea, np.int64)[order]
+    eb = np.array(eb, np.int64)[order]
+    edges = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(ea), "id_b": pa.array(eb)})
+    ).repartition(8)
+
+    got = (
+        connected_components(edges, method="hashmin")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes, labels = numpy_components(ea, eb)
+    assert list(got["node"]) == list(nodes)
+    assert list(got["cluster_id"]) == list(labels)
+    # the chain really collapsed to its min id across all 49 nodes
+    assert (got.loc[got["node"].between(100, 148), "cluster_id"] == 100).all()
+
+
+def test_attach_truth_recall_math(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from quichash_ray.pipelines.fuzzy import attach_truth_recall
+
+    # truth: {1,2,3} one cluster, {4,5} another → required = 3 + 1 = 4
+    truth = pa.table(
+        {
+            "row_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "cluster_id": pa.array([1, 1, 1, 4, 4], pa.int64()),
+        }
+    )
+    pq.write_table(truth, tmp_path / "truth.parquet")
+    # prediction splits {1,2,3} into {1,2}+{3} and gets {4,5} right
+    # → found = 1 + 1 = 2 → 5000 bp
+    pred = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_id": pa.array([1, 2, 3, 4, 5, 99], pa.int64()),
+                "cluster_id": pa.array([1, 1, 3, 4, 4, 99], pa.int64()),
+                "rep": pa.array([1, 1, 3, 4, 4, 99], pa.int64()),
+            }
+        )
+    )
+    out = attach_truth_recall(pred, str(tmp_path / "truth.parquet")).to_pandas()
+    assert len(out) == 6
+    assert set(out["truth_recall_bp"]) == {5000}
