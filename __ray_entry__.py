@@ -1083,6 +1083,79 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     )
 
 
+def _q_events_interval_join(sf_dir: str):
+    """Interval (range) join: every event attached to EVERY 30-minute
+    incident window opened by an 'error' event of the same user —
+    many-to-many containment (lo <= ts < hi), one key-hash exchange,
+    vectorized banded sweep per partition (stages/intervaljoin.py).
+    Overlapping windows (two errors within 30 min) genuinely multiply."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.stages.intervaljoin import interval_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def incidents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = b.filter(pc.equal(b["event_type"], "error"))
+        lo = sel["ts"]
+        hi = pc.add(
+            pc.cast(lo, pa.timestamp("us")),
+            pa.scalar(30 * 60 * 1_000_000, pa.duration("us")),
+        )
+        return pa.table(
+            {
+                "incident_id": sel["event_id"],
+                "user_id": sel["user_id"],
+                "lo": pc.cast(lo, pa.timestamp("us")),
+                "hi": hi,
+            }
+        )
+
+    inc = ev.map_batches(
+        incidents, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    joined = interval_join(
+        ev,
+        inc,
+        by="user_id",
+        ts_col="ts",
+        lo_col="lo",
+        hi_col="hi",
+        left_cols=["event_id", "event_type"],
+        right_cols=["incident_id"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lag = pc.subtract(
+            pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            pc.cast(pc.cast(b["lo"], pa.timestamp("us")), pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_type": b["event_type"],
+                "incident_id": b["incident_id"],
+                "lag_us": pc.cast(lag, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -1141,6 +1214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "events_interval_join": _q_events_interval_join,
     }
 
 
@@ -1991,6 +2065,21 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM documents
             QUALIFY rnk <= 10
+        """,
+        # interval join: events × 30-min incident windows per user,
+        # lo <= ts < hi containment (many-to-many)
+        "events_interval_join": """
+            WITH inc AS (
+                SELECT event_id AS incident_id, user_id, ts AS lo,
+                       ts + INTERVAL 30 MINUTE AS hi
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT e.event_id, e.user_id, e.ts, e.event_type,
+                   i.incident_id,
+                   (epoch_us(e.ts) - epoch_us(i.lo))::BIGINT AS lag_us
+            FROM events e
+            JOIN inc i
+              ON e.user_id = i.user_id AND e.ts >= i.lo AND e.ts < i.hi
         """,
         # normalized (canonical-text) dedup over the case-variant
         # scenario: lower → strip non-[a-z0-9 ws] runs to ' ' → collapse

@@ -767,3 +767,90 @@ def test_attach_truth_recall_math(ray_session, tmp_path):
     out = attach_truth_recall(pred, str(tmp_path / "truth.parquet")).to_pandas()
     assert len(out) == 6
     assert set(out["truth_recall_bp"]) == {5000}
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join: banded sweep vs brute force; string keys; nulls
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from quichash_ray.stages.intervaljoin import interval_join
+
+    rng = np.random.default_rng(17)
+    n_ev, n_iv = 400, 120
+    ev = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, n_ev), pa.int64()),
+            "ts": pa.array(rng.integers(0, 1000, n_ev), pa.int64()),
+            "eid": pa.array(np.arange(n_ev), pa.int64()),
+        }
+    )
+    lo = rng.integers(0, 950, n_iv)
+    width = rng.integers(1, 120, n_iv)  # mixed widths incl. overlaps
+    iv = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, n_iv), pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(lo + width, pa.int64()),
+            "iid": pa.array(np.arange(n_iv), pa.int64()),
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_arrow(ev).repartition(5),
+            ray.data.from_arrow(iv).repartition(3),
+            by="k", ts_col="ts", lo_col="lo", hi_col="hi",
+            left_cols=["eid"], right_cols=["iid"],
+        )
+        .to_pandas()
+        .sort_values(["eid", "iid"])
+        .reset_index(drop=True)
+    )
+    e, i = ev.to_pandas(), iv.to_pandas()
+    want = e.merge(i, on="k")
+    want = want[(want.ts >= want.lo) & (want.ts < want.hi)]
+    want = want[["k", "ts", "eid", "lo", "hi", "iid"]].sort_values(
+        ["eid", "iid"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want) and len(want) > 0
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_interval_join_string_keys_and_nulls(ray_session):
+    import ray.data
+
+    from quichash_ray.stages.intervaljoin import interval_join
+
+    ev = pa.table(
+        {
+            "k": ["a", "a", "b", None, "c"],
+            "ts": pa.array([5, 50, 5, 5, None], pa.int64()),
+            "eid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    iv = pa.table(
+        {
+            "k": ["a", "b", "c"],
+            "lo": pa.array([0, 0, 0], pa.int64()),
+            "hi": pa.array([10, 10, None], pa.int64()),
+            "iid": pa.array([100, 101, 102], pa.int64()),
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_arrow(ev), ray.data.from_arrow(iv),
+            by="k", ts_col="ts", lo_col="lo", hi_col="hi",
+            left_cols=["eid"], right_cols=["iid"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    # eid 0 → iid 100 (a, 5 in [0,10)); eid 1 out of range; eid 2 → 101;
+    # null ts / null hi rows never join
+    assert list(got["eid"]) == [0, 2]
+    assert list(got["iid"]) == [100, 101]
