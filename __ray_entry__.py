@@ -1156,6 +1156,15 @@ def _q_events_interval_join(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-5 terms by tf·idf (rational idf 1/df): one vocab-sized
+    combiner shuffle for df (only df≥2 tokens broadcast — a miss means
+    df=1), then docs stream once more with the top-k taken in-batch."""
+    from quichash_ray.pipelines.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k_top=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -1215,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "events_interval_join": _q_events_interval_join,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -2065,6 +2075,32 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM documents
             QUALIFY rnk <= 10
+        """,
+        # per-doc top-5 terms by tf/df (one double division both sides —
+        # bit-identical ordering), ties (tf DESC, token ASC)
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(text, '[ \t\n\f\r]+'),
+                    t -> t <> ''
+                )) AS token
+                FROM documents WHERE text IS NOT NULL
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM toks GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                FROM toks GROUP BY 1
+            )
+            SELECT doc_id, token, tf, df,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf * 1.0 / df DESC, tf DESC, token
+                   ) AS BIGINT) AS rnk
+            FROM tf JOIN df USING (token)
+            QUALIFY rnk <= 5
         """,
         # interval join: events × 30-min incident windows per user,
         # lo <= ts < hi containment (many-to-many)

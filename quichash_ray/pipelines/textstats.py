@@ -400,3 +400,174 @@ def doc_length_quantiles(
         cols[f"p{int(q * 100)}"] = pa.array([int(ns[idx])], pa.int64())
     cols["n_docs"] = pa.array([total], pa.int64())
     return pa.table(cols)
+
+
+# worker-level token -> md5-prefix int64 memo (Zipfian vocab: hits dominate;
+# bounded so adversarial vocab can't grow worker heap)
+_TKEY_CACHE: dict[str, int] = {}
+_TKEY_CACHE_CAP = 1_000_000
+
+
+def _token_key(tok: str) -> int:
+    v = _TKEY_CACHE.get(tok)
+    if v is None:
+        v = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big", signed=True
+        )
+        if len(_TKEY_CACHE) >= _TKEY_CACHE_CAP:
+            _TKEY_CACHE.clear()
+        _TKEY_CACHE[tok] = v
+    return v
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    k_top: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_broadcast_limit: int = 50_000_000,
+) -> Dataset:
+    """→ (doc_id, token, tf, df, rnk): each document's top-``k_top`` terms
+    by tf·idf with the rational idf 1/df — ordered by (tf/df DESC, tf
+    DESC, token ASC), rnk ∈ 1..k_top. The classic IR relevance/keyword
+    primitive over a corpus.
+
+    Shape: pass 1 streams the corpus into per-batch DISTINCT-token
+    partial counts → one vocab-sized groupby-sum → only tokens with
+    df ≥ 2 broadcast (as sorted md5-prefix int64 keys + counts; a token
+    MISSING from the broadcast has df = 1 by construction, so the
+    broadcast is bounded by the repeated vocabulary — the linededup
+    common-set discipline — not the full vocab with its long unique
+    tail). Pass 2 re-streams docs, counts tf, attaches df by
+    searchsorted, and takes the per-doc top-k inside the batch (docs
+    never span blocks) — zero shuffles beyond the vocab aggregate.
+
+    The tf/df score is one IEEE-754 double division on both engine and
+    oracle, so ordering (and therefore the emitted integer rows) is
+    bit-identical; ties break by (tf DESC, token ASC).
+    ``df_broadcast_limit`` guards the broadcast tier: above it, raise —
+    the caller should pre-prune boilerplate (a df table that large means
+    the corpus needs line/boilerplate dedup first).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from quichash_ray.stages.broadcast import cached_get
+
+    def _tok_frame(b: pa.Table) -> "pd.DataFrame | None":
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        lists = pc.split_pattern_regex(text, pattern=r"[ \t\n\f\r]+")
+        lists = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray
+        ) else lists
+        vals = lists.flatten()
+        if len(vals) == 0:
+            return None
+        ll = np.asarray(pc.list_value_length(lists).fill_null(0), np.int64)
+        ids = np.asarray(b[id_col], np.int64)
+        doc = np.repeat(ids, ll)
+        tok = vals.to_pandas().values
+        f = pd.DataFrame({"doc": doc, "tok": tok})
+        return f[f.tok != ""]
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        f = _tok_frame(b)
+        empty = pa.table(
+            {"tkey": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+        if f is None or len(f) == 0:
+            return empty
+        distinct = f.drop_duplicates(["doc", "tok"])
+        vc = distinct["tok"].value_counts()
+        tkeys = np.fromiter(
+            map(_token_key, vc.index), dtype=np.int64, count=len(vc)
+        )
+        return pa.table(
+            {
+                "tkey": pa.array(tkeys),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+            }
+        )
+
+    df_agg = (
+        ds.map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("tkey")
+        .sum("cnt")
+    )
+    kc, vc_ = [], []
+    n_df = 0
+    for b in df_agg.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0 or "sum(cnt)" not in b.column_names:
+            continue
+        cnt = np.asarray(b["sum(cnt)"], np.int64)
+        mask = cnt >= 2  # df=1 tokens are implicit misses — not shipped
+        kc.append(np.asarray(b["tkey"], np.int64)[mask])
+        vc_.append(cnt[mask])
+        n_df += int(mask.sum())
+        if n_df > df_broadcast_limit:
+            raise ValueError(
+                "tfidf_top_terms: repeated-vocab df table exceeds "
+                f"df_broadcast_limit={df_broadcast_limit}; run "
+                "boilerplate/line dedup first or raise the limit"
+            )
+    keys = np.concatenate(kc) if kc else np.empty(0, np.int64)
+    dfs = np.concatenate(vc_) if vc_ else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    ref = ray.put((keys[order], dfs[order]))
+
+    def topk(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        f = _tok_frame(b)
+        if f is None or len(f) == 0:
+            return empty
+        tf = (
+            f.groupby(["doc", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        km, dm = cached_get(ref)
+        tkeys = np.fromiter(
+            map(_token_key, tf["tok"]), dtype=np.int64, count=len(tf)
+        )
+        if len(km):
+            pos = np.clip(np.searchsorted(km, tkeys), 0, len(km) - 1)
+            dfv = np.where(km[pos] == tkeys, dm[pos], 1)
+        else:
+            dfv = np.ones(len(tf), np.int64)
+        tf["df"] = dfv.astype(np.int64)
+        tf["score"] = tf["tf"].to_numpy() / tf["df"].to_numpy()
+        tf = tf.sort_values(
+            ["doc", "score", "tf", "tok"],
+            ascending=[True, False, False, True],
+            kind="mergesort",
+        )
+        tf["rnk"] = tf.groupby("doc", sort=False).cumcount() + 1
+        tf = tf[tf["rnk"] <= k_top]
+        return pa.table(
+            {
+                id_col: pa.array(tf["doc"].to_numpy(), pa.int64()),
+                "token": pa.array(tf["tok"].to_numpy(), pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy().astype(np.int64)),
+                "df": pa.array(tf["df"].to_numpy().astype(np.int64)),
+                "rnk": pa.array(tf["rnk"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(
+        topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -854,3 +854,27 @@ def test_interval_join_string_keys_and_nulls(ray_session):
     # null ts / null hi rows never join
     assert list(got["eid"]) == [0, 2]
     assert list(got["iid"]) == [100, 101]
+
+
+def test_tfidf_top_terms_ordering_and_df(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import tfidf_top_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "rare rare common common common",  # rare df=1 beats common df=3
+                "common unique",
+                "common other",
+            ],
+        }
+    )
+    out = tfidf_top_terms(ray.data.from_arrow(t), k_top=2).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rnk")
+    # doc 0: rare (tf=2, df=1, score 2.0) > common (tf=3, df=3, score 1.0)
+    assert list(d0["token"]) == ["rare", "common"]
+    assert list(d0["tf"]) == [2, 3] and list(d0["df"]) == [1, 3]
+    d1 = out[out.doc_id == 1].sort_values("rnk")
+    assert list(d1["token"]) == ["unique", "common"]
