@@ -1165,6 +1165,17 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir), k_top=5)
 
 
+_MIX_WEIGHTS = {"src0": 5000, "src1": 3000, "src2": 2000}
+
+
+def _q_mix_to_weights(sf_dir: str):
+    """Deterministic domain-mixing sampler: down-sample to a 50/30/20
+    src0/src1/src2 mix, integer-exact sizing, md5(id)-ranked picks."""
+    from quichash_ray.pipelines.sampling import mix_to_weights
+
+    return mix_to_weights(_docs(sf_dir), _MIX_WEIGHTS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "corpus_fuzzy_clusters": _q_corpus_fuzzy_clusters,
@@ -1225,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "events_interval_join": _q_events_interval_join,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "mix_to_weights": _q_mix_to_weights,
     }
 
 
@@ -2075,6 +2087,32 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS rnk
             FROM documents
             QUALIFY rnk <= 10
+        """,
+        # deterministic domain mixing: scale = min_g (c_g*10000)//w_g,
+        # k_g = (scale*w_g)//10000, picks by (md5(id), id) per group
+        "mix_to_weights": """
+            WITH w(source, wbp) AS (
+                VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000)
+            ),
+            cnt AS (
+                SELECT source, count(*)::BIGINT AS c
+                FROM documents GROUP BY 1
+            ),
+            sc AS (
+                SELECT min(c * 10000 // wbp)::BIGINT AS scale
+                FROM cnt JOIN w USING (source)
+            ),
+            k AS (
+                SELECT w.source, (sc.scale * w.wbp // 10000)::BIGINT AS k_g
+                FROM w, sc
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents d JOIN k USING (source)
+            QUALIFY rnk <= k.k_g
         """,
         # per-doc top-5 terms by tf/df (one double division both sides —
         # bit-identical ordering), ties (tf DESC, token ASC)

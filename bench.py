@@ -143,6 +143,13 @@ def run_suite() -> dict:
         "ngram_decontaminate",
         "chunk_dedup_stats",
         "cdc_dedup_stats",
+        "normalized_dedup",
+        "bpe_pair_counts",
+        "doc_length_quantiles",
+        "fuzzy_decontaminate",
+        "events_interval_join",
+        "tfidf_top_terms",
+        "mix_to_weights",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -113,3 +113,90 @@ def cap_per_group(
         topk,
         num_parts,
     )
+
+
+def mix_to_weights(
+    ds: Dataset,
+    weights_bp: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Deterministic source-mixing sampler: down-sample so the kept rows
+    follow the target mix ``weights_bp`` (basis points per group) while
+    keeping the maximum possible data — the domain-mixture step of a
+    training-data pipeline (e.g. web 50% / books 30% / code 20%).
+
+    Integer-exact sizing, mirrored by the SQL oracle: with per-group
+    counts c_g, ``scale = min_g (c_g * 10000) // w_g`` over the weighted
+    groups present in the corpus, and each group keeps its first
+    ``k_g = (scale * w_g) // 10000`` rows by (md5(id), id) order — the
+    same deterministic, resume-stable ranking as :func:`cap_per_group`.
+    Groups not in ``weights_bp`` are dropped; weighted groups absent
+    from the corpus are ignored (inner-join semantics).
+
+    → (id_col, group_col, rnk) with rnk ≤ k_g. Shape: one small
+    groupby-count (group-cardinality-sized — driver-safe), then one
+    group-key hash exchange carrying only (id, group, sample-key) rows.
+    """
+    counts = ds.groupby(group_col).count()
+    k_by_group: dict[str, int] = {}
+    scale = None
+    rows = counts.take_all()  # bounded by the number of groups
+    for r in rows:
+        g = r[group_col]
+        w = weights_bp.get(g)
+        if w:
+            s = (int(r["count()"]) * 10000) // int(w)
+            scale = s if scale is None else min(scale, s)
+    if scale is not None:
+        for g, w in weights_bp.items():
+            k_by_group[g] = (scale * int(w)) // 10000
+
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            ds, bytes_per_row=48, target_bytes=32 << 20
+        )
+    hash_impl = string_hash_impl()
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                "skey": pa.array(
+                    _md5_hex(b[id_col].to_pylist()), pa.string()
+                ),
+                "part": key_part_column(
+                    b[group_col], num_parts, impl=hash_impl
+                ),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                group_col: pa.array([], pa.string()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "skey" not in g.column_names:
+            return empty
+        df = g.to_pandas().sort_values([group_col, "skey", id_col])
+        df["k_g"] = df[group_col].map(k_by_group).fillna(0).astype("int64")
+        df["rnk"] = df.groupby(group_col, sort=False).cumcount() + 1
+        kept = df[df["rnk"] <= df["k_g"]]
+        if len(kept) == 0:
+            return empty
+        return pa.Table.from_pandas(
+            kept[[id_col, group_col, "rnk"]].astype({"rnk": "int64"}),
+            preserve_index=False,
+        )
+
+    return hash_exchange(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "part",
+        topk,
+        num_parts,
+    )

@@ -878,3 +878,46 @@ def test_tfidf_top_terms_ordering_and_df(ray_session):
     assert list(d0["tf"]) == [2, 3] and list(d0["df"]) == [1, 3]
     d1 = out[out.doc_id == 1].sort_values("rnk")
     assert list(d1["token"]) == ["unique", "common"]
+
+
+def test_mix_to_weights_exact_mix(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.sampling import mix_to_weights
+
+    # 100 a / 10 b / 40 c, target 60/20/20 → limiting group is b:
+    # scale = min(100*10000//6000=166, 10*10000//2000=50, 40*10000//2000=200)
+    # = 50 → k = 30 / 10 / 10
+    n = 150
+    src = ["a"] * 100 + ["b"] * 10 + ["c"] * 40
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+    out = mix_to_weights(
+        ray.data.from_arrow(t), {"a": 6000, "b": 2000, "c": 2000}
+    ).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    assert got == {"a": 30, "b": 10, "c": 10}
+    # deterministic: same picks on a re-run
+    out2 = mix_to_weights(
+        ray.data.from_arrow(t), {"a": 6000, "b": 2000, "c": 2000}
+    ).to_pandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+
+
+def test_mix_to_weights_unweighted_groups_dropped(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.sampling import mix_to_weights
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "zzz", "zzz"], pa.string()),
+        }
+    )
+    out = mix_to_weights(ray.data.from_arrow(t), {"a": 10000}).to_pandas()
+    assert set(out["source"]) == {"a"} and len(out) == 2
