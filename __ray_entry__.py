@@ -1052,6 +1052,18 @@ def _q_normalized_dedup(sf_dir: str):
     return normalized_dup_groups(case_variants(_docs(sf_dir)))
 
 
+def _q_normalized_keep_best(sf_dir: str):
+    """Quality-aware normalized dedup: per canonical-text group keep the
+    LONGEST member (ties → smallest id) via an int64-packed (len, id)
+    argmax that rides inside one Count/Max groupby — no join-back pass.
+    Over the case-variant scenario the kept copy is the wrapped variant
+    (5 chars longer), exercising keep-best ≠ keep-first."""
+    from quichash_ray.pipelines.derived import case_variants
+    from quichash_ray.pipelines.normdedup import normalized_keep_best
+
+    return normalized_keep_best(case_variants(_docs(sf_dir)))
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """BPE merge-step primitive: top-200 most frequent adjacent token
     pairs (combiner pattern — shuffle carries pair-vocabulary partial
@@ -1237,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _q_events_interval_join,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "mix_to_weights": _q_mix_to_weights,
+        "normalized_keep_best": _q_normalized_keep_best,
     }
 
 
@@ -2171,6 +2184,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # keep-best normalized dedup: int64-packed argmax key
+        # len*2^40 + (2^40-1 - id); max() picks longest member, tie →
+        # smallest id — the literal mirror of normdedup._ID_MASK packing
+        "normalized_keep_best": f"""
+            WITH {CASE_VARIANTS_SQL.strip().rstrip()},
+            canon AS (
+                SELECT doc_id,
+                       least(length(text), 8388607)::BIGINT AS len,
+                       md5(trim(regexp_replace(regexp_replace(
+                               lower(text),
+                               '[^a-z0-9 \t\n\f\r]+', ' ', 'g'),
+                               '[ \t\n\f\r]+', ' ', 'g'), ' ')) AS digest
+                FROM cv WHERE text IS NOT NULL
+            ),
+            pk AS (
+                SELECT digest,
+                       len * 1099511627776
+                         + (1099511627775 - doc_id) AS key
+                FROM canon
+            )
+            SELECT digest, count(*)::BIGINT AS cnt,
+                   (1099511627775 - (max(key) % 1099511627776))::BIGINT
+                       AS keep_id,
+                   (max(key) // 1099511627776)::BIGINT AS keep_len
+            FROM pk GROUP BY digest
         """,
         # BPE merge step: top-200 adjacent token pairs, (cnt DESC, pair)
         "bpe_pair_counts": r"""

@@ -150,6 +150,7 @@ def run_suite() -> dict:
         "events_interval_join",
         "tfidf_top_terms",
         "mix_to_weights",
+        "normalized_keep_best",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

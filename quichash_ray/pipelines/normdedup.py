@@ -109,3 +109,89 @@ def normalized_dup_groups(
         return t.filter(pc.greater_equal(t["cnt"], pa.scalar(2, pa.int64())))
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# argmax packing for keep-best: key = len << 40 | (ID_MASK - id).
+# Max(key) picks the longest member; among equal lengths the SMALLEST id
+# (ID_MASK - id maximal). len clamped to 23 bits so key fits int64 with
+# ids < 2^40 — mirrored bit-for-bit by the SQL oracle.
+_ID_MASK = (1 << 40) - 1
+_LEN_CAP = (1 << 23) - 1
+
+
+def normalized_keep_best(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """Quality-aware normalized dedup: one row per canonical-text group,
+    keeping the LONGEST member (most complete variant), ties broken by
+    smallest id — the C4-style "keep the best copy" discipline rather
+    than keep-first. → (digest, cnt, keep_id, keep_len).
+
+    Shape: one vectorized canonicalize+digest pass (content never
+    shuffles), then a single groupby(digest) Count/Max over an
+    int64-packed (len, id) argmax key — same one-shuffle combiner
+    aggregate as :func:`normalized_dup_groups`; the argmax needs no
+    second join-back pass because the winner id rides inside the key.
+    """
+    from ray.data.aggregate import Count, Max
+
+    def kernel(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        from quichash_ray.stages.digest import content_byte_views
+
+        canon = canonical_text(b[text_col])
+        views, _ = content_byte_views(pa.table({"t": canon}), "t")
+        lens = pc.min_element_wise(
+            pc.cast(pc.utf8_length(b[text_col]), pa.int64()),
+            pa.scalar(_LEN_CAP, pa.int64()),
+        )
+        ids = b[id_col].combine_chunks() if isinstance(
+            b[id_col], pa.ChunkedArray
+        ) else b[id_col]
+        out_dg, out_key = [], []
+        for rid, ln, v in zip(
+            ids.to_pylist(), lens.to_pylist(), views
+        ):
+            if v is None:
+                continue
+            out_dg.append(hashlib.md5(v).hexdigest())
+            out_key.append((ln << 40) | (_ID_MASK - rid))
+        return pa.table(
+            {
+                "digest": pa.array(out_dg, pa.string()),
+                "key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = keyed.groupby("digest").aggregate(
+        Count(alias_name="cnt"), Max("key", alias_name="best")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "best" not in b.column_names:
+            return pa.table(
+                {
+                    "digest": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "keep_id": pa.array([], pa.int64()),
+                    "keep_len": pa.array([], pa.int64()),
+                }
+            )
+        best = pc.cast(b["best"], pa.int64())
+        return pa.table(
+            {
+                "digest": b["digest"],
+                "cnt": pc.cast(b["cnt"], pa.int64()),
+                "keep_id": pc.subtract(
+                    pa.scalar(_ID_MASK, pa.int64()),
+                    pc.bit_wise_and(best, pa.scalar(_ID_MASK, pa.int64())),
+                ),
+                "keep_len": pc.shift_right(best, pa.scalar(40, pa.int64())),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

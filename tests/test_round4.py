@@ -921,3 +921,44 @@ def test_mix_to_weights_unweighted_groups_dropped(ray_session):
     )
     out = mix_to_weights(ray.data.from_arrow(t), {"a": 10000}).to_pandas()
     assert set(out["source"]) == {"a"} and len(out) == 2
+
+
+def test_normalized_keep_best_longest_wins(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.normdedup import normalized_keep_best
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello,   world",
+                    " HELLO WORLD !!!",   # same canonical, longest (16)
+                    "hello world",        # same canonical, shortest
+                    "solo doc",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = normalized_keep_best(ray.data.from_arrow(t)).to_pandas()
+    grp = out[out.cnt == 3].iloc[0]
+    assert grp.keep_id == 2 and grp.keep_len == 16
+    solo = out[out.cnt == 1].iloc[0]
+    assert solo.keep_id == 9 and solo.keep_len == 8
+
+
+def test_normalized_keep_best_tie_breaks_min_id(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.normdedup import normalized_keep_best
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3], pa.int64()),
+            "text": pa.array(["same text.", "same TEXT,"], pa.string()),
+        }
+    )
+    out = normalized_keep_best(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 1 and out.iloc[0].keep_id == 3
