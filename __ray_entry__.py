@@ -1064,6 +1064,17 @@ def _q_normalized_keep_best(sf_dir: str):
     return normalized_keep_best(case_variants(_docs(sf_dir)))
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split by md5(id) bucket —
+    resume/audit-safe (same id → same split on every run and
+    partitioning), zero shuffles, one streaming pass."""
+    from quichash_ray.pipelines.sampling import hash_split
+
+    return hash_split(
+        _docs(sf_dir), [("train", 9000), ("val", 500), ("test", 500)]
+    )
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """BPE merge-step primitive: top-200 most frequent adjacent token
     pairs (combiner pattern — shuffle carries pair-vocabulary partial
@@ -1250,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "mix_to_weights": _q_mix_to_weights,
         "normalized_keep_best": _q_normalized_keep_best,
+        "hash_split": _q_hash_split,
     }
 
 
@@ -2184,6 +2196,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # 90/5/5 split by md5(id) 8-hex prefix; thresholds are
+        # hex((cum_bp * 2^32) // 10000) — e6666666 / f3333333
+        "hash_split": """
+            SELECT *,
+                   CASE
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          < 'e6666666' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          < 'f3333333' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
         """,
         # keep-best normalized dedup: int64-packed argmax key
         # len*2^40 + (2^40-1 - id); max() picks longest member, tie →

@@ -151,6 +151,7 @@ def run_suite() -> dict:
         "tfidf_top_terms",
         "mix_to_weights",
         "normalized_keep_best",
+        "hash_split",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

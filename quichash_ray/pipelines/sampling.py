@@ -200,3 +200,45 @@ def mix_to_weights(
         topk,
         num_parts,
     )
+
+
+def hash_split(
+    ds: Dataset,
+    splits: list[tuple[str, int]],
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic train/val/test assignment: route each row to a named
+    split by where its md5(id) 8-hex-char prefix falls among cumulative
+    basis-point thresholds (``splits`` = ordered (name, bp) pairs summing
+    to 10000). The same id lands in the same split on every run, machine,
+    and partitioning — the resume/audit-safe alternative to
+    ``Dataset.train_test_split``'s RNG. One streaming pass, zero
+    shuffles; emits the input columns plus ``split``.
+
+    Threshold rule shared with :func:`hash_sample` (and mirrored by the
+    SQL oracle): cumulative bp c maps to hex((c * 2^32) // 10000); a
+    lowercase-hex string compare equals the numeric compare.
+    """
+    if sum(bp for _, bp in splits) != 10000:
+        raise ValueError("split basis points must sum to 10000")
+    names: list[str] = []
+    bounds: list[int] = []
+    cum = 0
+    for name, bp in splits:
+        cum += int(bp)
+        names.append(name)
+        bounds.append((cum * (1 << 32)) // 10000)
+    np_bounds = np.array(bounds[:-1], dtype=np.uint64)  # last bucket catches all
+    np_names = np.array(names)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        vals = np.array(
+            [int(h[:8], 16) for h in _md5_hex(b[id_col].to_pylist())],
+            dtype=np.uint64,
+        )
+        idx = np.searchsorted(np_bounds, vals, side="right")
+        return b.append_column("split", pa.array(np_names[idx], pa.string()))
+
+    return ds.map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

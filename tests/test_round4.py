@@ -962,3 +962,23 @@ def test_normalized_keep_best_tie_breaks_min_id(ray_session):
     )
     out = normalized_keep_best(ray.data.from_arrow(t)).to_pandas()
     assert len(out) == 1 and out.iloc[0].keep_id == 3
+
+
+def test_hash_split_deterministic_and_complete(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.sampling import hash_split
+
+    t = pa.table({"doc_id": pa.array(list(range(2000)), pa.int64())})
+    splits = [("train", 9000), ("val", 500), ("test", 500)]
+    out = hash_split(ray.data.from_arrow(t), splits).to_pandas()
+    assert len(out) == 2000  # partition of the input, nothing dropped
+    frac = out.groupby("split").size() / 2000
+    assert 0.85 < frac["train"] < 0.95
+    assert 0.02 < frac["val"] < 0.08 and 0.02 < frac["test"] < 0.08
+    out2 = hash_split(ray.data.from_arrow(t), splits).to_pandas()
+    assert out.sort_values("doc_id").split.tolist() == out2.sort_values(
+        "doc_id"
+    ).split.tolist()
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_arrow(t), [("a", 5000)])
