@@ -1064,6 +1064,16 @@ def _q_normalized_keep_best(sf_dir: str):
     return normalized_keep_best(case_variants(_docs(sf_dir)))
 
 
+def _q_similar_docs_topk(sf_dir: str):
+    """Per-doc similar-document search: top-3 most similar docs by
+    5-gram Jaccard among ≥1-shared-gram candidates — ranking by one
+    double division of the same int64s on both sides (bit-identical),
+    ties to smaller other_id."""
+    from quichash_ray.pipelines.ngram import similar_docs_topk
+
+    return similar_docs_topk(_docs(sf_dir), k_top=3)
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test split by md5(id) bucket —
     resume/audit-safe (same id → same split on every run and
@@ -1262,6 +1272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_to_weights": _q_mix_to_weights,
         "normalized_keep_best": _q_normalized_keep_best,
         "hash_split": _q_hash_split,
+        "similar_docs_topk": _q_similar_docs_topk,
     }
 
 
@@ -2196,6 +2207,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # per-doc top-3 by 5-gram Jaccard; rank key is ONE double
+        # division of the same int64s both sides, ties → other_id ASC
+        "similar_docs_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 3, 1))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4] AS g
+                FROM idx
+            ),
+            totals AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*)::BIGINT AS shared
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pj AS (
+                SELECT p.id_a, p.id_b, p.shared,
+                       ta.n::BIGINT AS n_a, tb.n::BIGINT AS n_b
+                FROM pairs p
+                JOIN totals ta ON ta.doc_id = p.id_a
+                JOIN totals tb ON tb.doc_id = p.id_b
+            ),
+            sym AS (
+                SELECT id_a AS doc_id, id_b AS other_id, shared,
+                       n_a AS n_self, n_b AS n_other FROM pj
+                UNION ALL
+                SELECT id_b, id_a, shared, n_b, n_a FROM pj
+            )
+            SELECT doc_id, other_id, shared, n_self, n_other,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY shared::DOUBLE
+                                / (n_self + n_other - shared) DESC,
+                                other_id
+                   )::BIGINT AS rnk
+            FROM sym QUALIFY rnk <= 3
         """,
         # 90/5/5 split by md5(id) 8-hex prefix; thresholds are
         # hex((cum_bp * 2^32) // 10000) — e6666666 / f3333333

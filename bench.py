@@ -152,6 +152,7 @@ def run_suite() -> dict:
         "mix_to_weights",
         "normalized_keep_best",
         "hash_split",
+        "similar_docs_topk",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

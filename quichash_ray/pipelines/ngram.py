@@ -318,3 +318,89 @@ def jaccard_pairs(
         )
 
     return _filter_pairs(j2, keep)
+
+
+def similar_docs_topk(
+    ds: Dataset,
+    k_top: int = 3,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_cap: int | None = 256,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-document similar-document search: for every doc, its ``k_top``
+    most similar docs by k-gram Jaccard among candidates sharing ≥ 1
+    gram — the "related documents" / dedup-triage view of the pair
+    detectors. → (doc_id, other_id, shared, n_self, n_other, rnk).
+
+    Ordering is (Jaccard DESC, other_id ASC) where Jaccard =
+    shared / (n_self + n_other − shared); both engine and oracle compute
+    it as ONE double division of the same int64s, so the ranking is
+    bit-identical (the tfidf_top_terms discipline).
+
+    Shape: the shared pair machinery (shingles → candidate counts →
+    totals attach), then each canonical pair is emitted in BOTH
+    directions (a stateless map — pair output is quadratic-bounded by
+    gram_cap, not corpus size) and one hash exchange on doc_id ranks
+    per-doc lists locally. No driver materialization.
+    """
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import key_part_column
+
+    j2 = _pairs_with_totals(
+        ds, k, id_col, text_col, gram_cap, num_partitions
+    )
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ida = pc.cast(b["id_a"], pa.int64())
+        idb = pc.cast(b["id_b"], pa.int64())
+        shared = pc.cast(b["shared"], pa.int64())
+        na = pc.cast(b["n_a"], pa.int64())
+        nb = pc.cast(b["n_b"], pa.int64())
+        fwd = pa.table(
+            {"src": ida, "other": idb, "shared": shared,
+             "n_self": na, "n_other": nb}
+        )
+        rev = pa.table(
+            {"src": idb, "other": ida, "shared": shared,
+             "n_self": nb, "n_other": na}
+        )
+        t = pa.concat_tables([fwd, rev])
+        return t.append_column(
+            "part", key_part_column(t["src"], num_partitions)
+        )
+
+    sym = j2.map_batches(
+        both_dirs, batch_format="pyarrow", batch_size=None
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        cols = {
+            "doc_id": pa.int64(), "other_id": pa.int64(),
+            "shared": pa.int64(), "n_self": pa.int64(),
+            "n_other": pa.int64(), "rnk": pa.int64(),
+        }
+        if g.num_rows == 0 or "src" not in g.column_names:
+            return pa.table(
+                {c: pa.array([], t) for c, t in cols.items()}
+            )
+        df = g.to_pandas()
+        df["sim"] = df["shared"] / (
+            df["n_self"] + df["n_other"] - df["shared"]
+        )
+        df = df.sort_values(
+            ["src", "sim", "other"], ascending=[True, False, True]
+        )
+        df["rnk"] = df.groupby("src", sort=False).cumcount() + 1
+        kept = df[df["rnk"] <= k_top]
+        return pa.Table.from_pandas(
+            kept.rename(columns={"src": "doc_id", "other": "other_id"})[
+                ["doc_id", "other_id", "shared", "n_self", "n_other", "rnk"]
+            ].astype("int64"),
+            preserve_index=False,
+        )
+
+    return hash_exchange(sym, "part", topk, num_partitions)

@@ -982,3 +982,33 @@ def test_hash_split_deterministic_and_complete(ray_session):
     ).split.tolist()
     with pytest.raises(ValueError):
         hash_split(ray.data.from_arrow(t), [("a", 5000)])
+
+
+def test_similar_docs_topk_ranking(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.ngram import similar_docs_topk
+
+    # doc0 and doc1 share most grams; doc2 overlaps both weakly; doc3 alone
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    base + " one",
+                    base + " two",
+                    "alpha beta gamma delta epsilon other words here now",
+                    "totally different content with no overlap at all xx",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = similar_docs_topk(
+        ray.data.from_arrow(t), k_top=2
+    ).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rnk")
+    assert list(d0["other_id"]) == [1, 2]  # 1 is nearest, 2 second
+    assert 3 not in set(out.doc_id)  # no candidates → no rows
+    assert (out.rnk <= 2).all()
