@@ -1064,6 +1064,15 @@ def _q_normalized_keep_best(sf_dir: str):
     return normalized_keep_best(case_variants(_docs(sf_dir)))
 
 
+def _q_length_quantile_filter(sf_dir: str):
+    """Corpus-adaptive length filter: keep docs inside the corpus's own
+    [p10, p99] token-length quantiles — exact thresholds from the
+    bounded distinct-length histogram, then one streaming filter."""
+    from quichash_ray.pipelines.textstats import length_quantile_filter
+
+    return length_quantile_filter(_docs(sf_dir), 0.10, 0.99)
+
+
 def _q_similar_docs_topk(sf_dir: str):
     """Per-doc similar-document search: top-3 most similar docs by
     5-gram Jaccard among ≥1-shared-gram candidates — ranking by one
@@ -1273,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_keep_best": _q_normalized_keep_best,
         "hash_split": _q_hash_split,
         "similar_docs_topk": _q_similar_docs_topk,
+        "length_quantile_filter": _q_length_quantile_filter,
     }
 
 
@@ -2207,6 +2217,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # adaptive [p10, p99] token-length filter; quantile_disc matches
+        # the engine's ceil-rank rule over the distinct-length histogram
+        "length_quantile_filter": r"""
+            WITH nt AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(
+                           text, '[^ \t\n\f\r]+'))::BIGINT AS n_tok
+                FROM documents WHERE text IS NOT NULL
+            ),
+            b AS (
+                SELECT quantile_disc(n_tok, 0.10)::BIGINT AS lo,
+                       quantile_disc(n_tok, 0.99)::BIGINT AS hi
+                FROM nt
+            )
+            SELECT doc_id, n_tok
+            FROM nt, b WHERE n_tok >= lo AND n_tok <= hi
         """,
         # per-doc top-3 by 5-gram Jaccard; rank key is ONE double
         # division of the same int64s both sides, ties → other_id ASC

@@ -153,6 +153,7 @@ def run_suite() -> dict:
         "normalized_keep_best",
         "hash_split",
         "similar_docs_topk",
+        "length_quantile_filter",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

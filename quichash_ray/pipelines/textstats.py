@@ -571,3 +571,47 @@ def tfidf_top_terms(
     return ds.map_batches(
         topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def length_quantile_filter(
+    ds: Dataset,
+    low_q: float = 0.10,
+    high_q: float = 0.99,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Corpus-adaptive length filter: keep documents whose token count
+    lies within the corpus's own [low_q, high_q] discrete quantiles —
+    thresholds derived from the data (the :func:`doc_length_quantiles`
+    calibration applied as a filter), not guessed constants.
+
+    Two phases, both scale-safe: (1) the bounded distinct-length
+    histogram comes to the driver and yields the two int thresholds
+    (exact, same ceil-rank rule as DuckDB ``quantile_disc``); (2) one
+    streaming vectorized filter pass — the thresholds ride in the task
+    closure, nothing is re-shuffled. → (id_col, n_tok) kept rows.
+    """
+    import pyarrow.compute as pc
+
+    q = doc_length_quantiles(ds, quantiles=(low_q, high_q), text_col=text_col)
+    lo = q[f"p{int(low_q * 100)}"][0].as_py()
+    hi = q[f"p{int(high_q * 100)}"][0].as_py()
+
+    def kernel(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        n_tok = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[^ \t\n\f\r]+"),
+            pa.int64(),
+        )
+        t = pa.table({id_col: b[id_col], "n_tok": n_tok})
+        if lo is None:
+            return t.slice(0, 0)
+        mask = pc.and_(
+            pc.greater_equal(n_tok, pa.scalar(lo, pa.int64())),
+            pc.less_equal(n_tok, pa.scalar(hi, pa.int64())),
+        )
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

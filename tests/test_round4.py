@@ -1012,3 +1012,23 @@ def test_similar_docs_topk_ranking(ray_session):
     assert list(d0["other_id"]) == [1, 2]  # 1 is nearest, 2 second
     assert 3 not in set(out.doc_id)  # no candidates → no rows
     assert (out.rnk <= 2).all()
+
+
+def test_length_quantile_filter_bounds(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import length_quantile_filter
+
+    texts = [" ".join(["w"] * n) for n in range(1, 101)]  # 1..100 tokens
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = length_quantile_filter(
+        ray.data.from_arrow(t), 0.10, 0.90
+    ).to_pandas()
+    # ceil-rank discrete quantiles over 1..100: p10=10, p90=90
+    assert out.n_tok.min() == 10 and out.n_tok.max() == 90
+    assert len(out) == 81
