@@ -28,6 +28,8 @@ pair join, and the band partition count is the salt knob.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -574,7 +576,10 @@ def fuzzy_dedup(
     # the remaining DRAM-bound profile. Above the threshold (~10 GB of
     # content on this box) streaming re-decodes beat object-store spill,
     # so the large regime keeps the two-pass shape.
-    if n_rows <= 5_000_000:
+    # threshold env-tunable so the fused-vs-two-pass crossover can be
+    # measured at any size (QUICHASH_FUSE_ROWS; BASELINE.md 8M protocol)
+    fuse_rows = int(os.environ.get("QUICHASH_FUSE_ROWS", "5000000"))
+    if n_rows <= fuse_rows:
         corpus = corpus.select_columns([id_col, text_col]).materialize()
     membership, reps = exact_stage(corpus, id_col, text_col, n_rows=n_rows)
     membership = membership.materialize()
