@@ -1064,6 +1064,17 @@ def _q_normalized_keep_best(sf_dir: str):
     return normalized_keep_best(case_variants(_docs(sf_dir)))
 
 
+def _q_rare_token_stats(sf_dir: str):
+    """Per-doc corpus-frequency token stats (unigram quality signal):
+    n_tok, rare-instance count (corpus freq ≤ 2), rarest-token freq,
+    mean corpus freq (one double division of int64 sums). One
+    token-hash exchange — a token partition holds all instances of its
+    tokens, so global freqs are computed locally, no join."""
+    from quichash_ray.pipelines.textstats import rare_token_stats
+
+    return rare_token_stats(_docs(sf_dir), rare_max=2)
+
+
 def _q_length_quantile_filter(sf_dir: str):
     """Corpus-adaptive length filter: keep docs inside the corpus's own
     [p10, p99] token-length quantiles — exact thresholds from the
@@ -1283,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "similar_docs_topk": _q_similar_docs_topk,
         "length_quantile_filter": _q_length_quantile_filter,
+        "rare_token_stats": _q_rare_token_stats,
     }
 
 
@@ -2217,6 +2229,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # per-doc corpus-frequency token stats; mean_freq is ONE double
+        # division of the same int64 sums both sides
+        "rare_token_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(
+                           text, '[^ \t\n\f\r]+')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ),
+            freq AS (
+                SELECT tok, count(*)::BIGINT AS f FROM toks GROUP BY 1
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tok,
+                   coalesce(sum(CASE WHEN f <= 2 THEN 1 END), 0)::BIGINT
+                       AS n_rare,
+                   min(f)::BIGINT AS min_freq,
+                   sum(f)::DOUBLE / count(*) AS mean_freq
+            FROM toks JOIN freq USING (tok)
+            GROUP BY doc_id
         """,
         # adaptive [p10, p99] token-length filter; quantile_disc matches
         # the engine's ceil-rank rule over the distinct-length histogram

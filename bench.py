@@ -154,6 +154,7 @@ def run_suite() -> dict:
         "hash_split",
         "similar_docs_topk",
         "length_quantile_filter",
+        "rare_token_stats",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

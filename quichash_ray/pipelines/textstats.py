@@ -615,3 +615,156 @@ def length_quantile_filter(
     return ds.map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def rare_token_stats(
+    ds: Dataset,
+    rare_max: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Corpus-frequency token statistics per document — the unigram
+    quality signal (documents dominated by corpus-rare tokens are OCR
+    noise / mojibake candidates; KenLM-style scoring's integer-exact
+    little sibling). → (doc_id, n_tok, n_rare, min_freq, mean_freq)
+    where freq is each token's CORPUS instance count, n_rare counts
+    instances with freq ≤ ``rare_max``, and mean_freq is one double
+    division of two int64 sums (bit-identical to the oracle).
+
+    Shape: one vectorized tokenize pass to (doc, token, tf) rows, then a
+    single token-hash exchange — because a partition holds ALL instances
+    of its tokens, each token's global frequency is computed locally
+    (no separate freq table, no join) — emitting per-(partition, doc)
+    partial sums, finished by one vocab-bounded groupby(doc). Content
+    never shuffles; the exchange carries (doc, token, tf) rows.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import (
+        dataset_num_parts,
+        key_part_column,
+        string_hash_impl,
+    )
+    from ray.data.aggregate import Min, Sum
+
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            ds, bytes_per_row=200, target_bytes=32 << 20
+        )
+    hash_impl = string_hash_impl()
+
+    def doc_tokens(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        lists = pc.split_pattern_regex(text, pattern=r"[ \t\n\f\r]+")
+        lists = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray
+        ) else lists
+        flat = lists.flatten()
+        parents = pc.list_parent_indices(lists)
+        ids = pc.take(b[id_col], parents)
+        keep = pc.not_equal(flat, "")
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty.append_column("part", pa.array([], pa.int64()))
+        df = pd.DataFrame(
+            {
+                id_col: np.asarray(pc.cast(ids, pa.int64())),
+                "token": flat.to_pandas(),
+            }
+        )[np.asarray(keep)]
+        if len(df) == 0:
+            return empty.append_column("part", pa.array([], pa.int64()))
+        g = (
+            df.groupby([id_col, "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        t = pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+                "token": pa.array(g["token"].to_numpy(), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy().astype(np.int64)),
+            }
+        )
+        return t.append_column(
+            "part", key_part_column(t["token"], num_parts, impl=hash_impl)
+        )
+
+    toks = ds.map_batches(
+        doc_tokens, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def local_stats(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "n_rare": pa.array([], pa.int64()),
+                "min_f": pa.array([], pa.int64()),
+                "sum_f": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "token" not in g.column_names:
+            return empty
+        df = g.to_pandas()
+        # the partition holds every instance of its tokens → global freq
+        df["f"] = df.groupby("token", sort=False)["tf"].transform("sum")
+        df["w"] = df["tf"] * df["f"]
+        df["rare"] = np.where(df["f"] <= rare_max, df["tf"], 0)
+        out = df.groupby(id_col, sort=False).agg(
+            n_tok=("tf", "sum"),
+            n_rare=("rare", "sum"),
+            min_f=("f", "min"),
+            sum_f=("w", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(
+            out.astype("int64"), preserve_index=False
+        )
+
+    partials = hash_exchange(toks, "part", local_stats, num_parts)
+    agg = partials.groupby(id_col).aggregate(
+        Sum("n_tok", alias_name="n_tok"),
+        Sum("n_rare", alias_name="n_rare"),
+        Min("min_f", alias_name="min_freq"),
+        Sum("sum_f", alias_name="sum_f"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_tok" not in b.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    "n_rare": pa.array([], pa.int64()),
+                    "min_freq": pa.array([], pa.int64()),
+                    "mean_freq": pa.array([], pa.float64()),
+                }
+            )
+        n_tok = pc.cast(b["n_tok"], pa.int64())
+        sum_f = pc.cast(b["sum_f"], pa.int64())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tok": n_tok,
+                "n_rare": pc.cast(b["n_rare"], pa.int64()),
+                "min_freq": pc.cast(b["min_freq"], pa.int64()),
+                "mean_freq": pc.divide(
+                    pc.cast(sum_f, pa.float64()),
+                    pc.cast(n_tok, pa.float64()),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

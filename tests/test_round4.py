@@ -1032,3 +1032,38 @@ def test_length_quantile_filter_bounds(ray_session):
     # ceil-rank discrete quantiles over 1..100: p10=10, p90=90
     assert out.n_tok.min() == 10 and out.n_tok.max() == 90
     assert len(out) == 81
+
+
+def test_rare_token_stats_exact(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import rare_token_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "cat cat dog",        # cat f=3 (2 here +1 doc2), dog f=2
+                    "cat dog uniqword",   # uniqword f=1 (rare)
+                    None,                 # null → absent from output
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        rare_token_stats(ray.data.from_arrow(t), rare_max=1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]
+    d1 = out.loc[1]
+    # doc1: instances cat,cat,dog → f = 3,3,2 → n_rare=0, min 2, mean 8/3
+    assert d1.n_tok == 3 and d1.n_rare == 0 and d1.min_freq == 2
+    assert abs(d1.mean_freq - 8 / 3) < 1e-12
+    d2 = out.loc[2]
+    # doc2: cat,dog,uniqword → f = 3,2,1 → n_rare=1, min 1, mean 2.0
+    assert d2.n_tok == 3 and d2.n_rare == 1 and d2.min_freq == 1
+    assert d2.mean_freq == 2.0
