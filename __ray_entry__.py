@@ -507,6 +507,65 @@ def _q_events_sessionize(sf_dir: str):
     )
 
 
+def _q_events_debounce(sf_dir: str):
+    """Telemetry debounce dedup: drop an event when the SAME
+    (user_id, event_type) fired within the last 2 h (vs the previous
+    instance, kept or not — the lag() rule, exactly SQL-expressible).
+    One user-hash exchange, per-partition sort + vectorized shift
+    compare — the streaming-dedup workload batch-mode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    w_us = 2 * 3600 * 1_000_000
+    num_parts = dataset_num_parts(ds, bytes_per_row=32, target_bytes=32 << 20)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        return b.append_column(
+            "part", pa.array(uid % num_parts, pa.int64())
+        )
+
+    def debounce(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return empty
+        g = t.to_pandas().sort_values(
+            ["user_id", "event_type", "ts", "event_id"]
+        )
+        ts_us = g["ts"].astype("int64")
+        same_key = g["user_id"].eq(g["user_id"].shift()) & g[
+            "event_type"
+        ].eq(g["event_type"].shift())
+        keep = ~same_key | ts_us.diff().ge(w_us)
+        kept = g[keep.to_numpy()]
+        return pa.Table.from_pandas(
+            kept[["event_id", "ts", "user_id", "event_type"]],
+            preserve_index=False,
+        )
+
+    return hash_exchange(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "part",
+        debounce,
+        num_parts,
+    )
+
+
 _CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 50000}
 
 
@@ -1295,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_docs_topk": _q_similar_docs_topk,
         "length_quantile_filter": _q_length_quantile_filter,
         "rare_token_stats": _q_rare_token_stats,
+        "events_debounce": _q_events_debounce,
     }
 
 
@@ -2229,6 +2289,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # debounce dedup: keep an event iff no prior same-(user, type)
+        # instance within 2h — the lag() rule, ties by (ts, event_id)
+        "events_debounce": """
+            SELECT event_id, ts, user_id, event_type FROM (
+                SELECT event_id, ts, user_id, event_type,
+                       lag(ts) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS pts
+                FROM events
+            )
+            WHERE pts IS NULL OR ts - pts >= INTERVAL 2 HOUR
         """,
         # per-doc corpus-frequency token stats; mean_freq is ONE double
         # division of the same int64 sums both sides

@@ -155,6 +155,7 @@ def run_suite() -> dict:
         "similar_docs_topk",
         "length_quantile_filter",
         "rare_token_stats",
+        "events_debounce",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -1067,3 +1067,37 @@ def test_rare_token_stats_exact(ray_session):
     # doc2: cat,dog,uniqword → f = 3,2,1 → n_rare=1, min 1, mean 2.0
     assert d2.n_tok == 3 and d2.n_rare == 1 and d2.min_freq == 1
     assert d2.mean_freq == 2.0
+
+
+def test_events_debounce_lag_rule(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 click at 0h, +1h (drop), +3h (keep: 2h since previous
+        # INSTANCE at +1h even though it was dropped)
+        (0, t0, 1, "click"),
+        (1, t0 + dt.timedelta(hours=1), 1, "click"),
+        (2, t0 + dt.timedelta(hours=3), 1, "click"),
+        # different type interleaved: kept independently
+        (3, t0 + dt.timedelta(minutes=5), 1, "view"),
+        # other user same times: independent
+        (4, t0, 2, "click"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * 5, pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = entry.queries()["events_debounce"](str(tmp_path)).to_pandas()
+    assert sorted(out.event_id) == [0, 2, 3, 4]
