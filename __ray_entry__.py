@@ -566,6 +566,43 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_events_outliers(sf_dir: str):
+    """Per-event-type robust outlier detection: |cents − median| > 3·MAD
+    with exact discrete medians from the combiner histogram (shuffle
+    carries (type, cents, count) rows, never events); dollars→cents via
+    half-away-from-zero to match DuckDB round()."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from quichash_ray.pipelines.outliers import mad_outliers
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(b["value"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return mad_outliers(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        k=3,
+    )
+
+
 _CORPUS_ROWS = {"sf0.001": 2000, "sf0.01": 5000, "sf0.1": 50000}
 
 
@@ -1355,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantile_filter": _q_length_quantile_filter,
         "rare_token_stats": _q_rare_token_stats,
         "events_debounce": _q_events_debounce,
+        "events_outliers": _q_events_outliers,
     }
 
 
@@ -2289,6 +2327,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # 3×MAD robust outliers per type; integer cents, quantile_disc
+        # medians — same ceil-rank rule as the engine's histogram scan
+        "events_outliers": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       quantile_disc(cents, 0.5)::BIGINT AS med
+                FROM c GROUP BY 1
+            ),
+            mad AS (
+                SELECT c.event_type,
+                       quantile_disc(abs(c.cents - m.med), 0.5)::BIGINT
+                           AS mad
+                FROM c JOIN m USING (event_type) GROUP BY 1
+            )
+            SELECT c.event_id, c.event_type, c.cents
+            FROM c JOIN m USING (event_type) JOIN mad USING (event_type)
+            WHERE abs(c.cents - m.med) > 3 * mad.mad
         """,
         # debounce dedup: keep an event iff no prior same-(user, type)
         # instance within 2h — the lag() rule, ties by (ts, event_id)

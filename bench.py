@@ -156,6 +156,7 @@ def run_suite() -> dict:
         "length_quantile_filter",
         "rare_token_stats",
         "events_debounce",
+        "events_outliers",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -1101,3 +1101,34 @@ def test_events_debounce_lag_rule(ray_session, tmp_path):
     pq.write_table(t, tmp_path / "events.parquet")
     out = entry.queries()["events_debounce"](str(tmp_path)).to_pandas()
     assert sorted(out.event_id) == [0, 2, 3, 4]
+
+
+def test_mad_outliers_exact_thresholds(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.outliers import mad_outliers
+
+    # group g: values 10×100 cents, 1×106, 1×1000 → med=100, MAD=0
+    # → every v != 100 is an outlier at any k when MAD=0
+    vals = [100] * 10 + [106, 1000]
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(len(vals))), pa.int64()),
+            "event_type": pa.array(["g"] * len(vals), pa.string()),
+            "cents": pa.array(vals, pa.int64()),
+        }
+    )
+    out = mad_outliers(ray.data.from_arrow(t), k=3).to_pandas()
+    assert sorted(out.cents) == [106, 1000]
+
+    # spread group: 1..9 → med=5, |dev|=4,3,2,1,0,1,2,3,4 → MAD=2,
+    # k=1 → |v-5| > 2 → {1,2,8,9}
+    t2 = pa.table(
+        {
+            "event_id": pa.array(list(range(9)), pa.int64()),
+            "event_type": pa.array(["h"] * 9, pa.string()),
+            "cents": pa.array(list(range(1, 10)), pa.int64()),
+        }
+    )
+    out2 = mad_outliers(ray.data.from_arrow(t2), k=1).to_pandas()
+    assert sorted(out2.cents) == [1, 2, 8, 9]
