@@ -566,6 +566,14 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_profile_documents(sf_dir: str):
+    """Single-pass table profile of documents (nulls + typed min/max per
+    column, no shuffle — partials are columns×4 values per block)."""
+    from quichash_ray.pipelines.profile import profile_table
+
+    return profile_table(_docs(sf_dir))
+
+
 def _q_events_outliers(sf_dir: str):
     """Per-event-type robust outlier detection: |cents − median| > 3·MAD
     with exact discrete medians from the combiner histogram (shuffle
@@ -1393,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_token_stats": _q_rare_token_stats,
         "events_debounce": _q_events_debounce,
         "events_outliers": _q_events_outliers,
+        "profile_documents": _q_profile_documents,
     }
 
 
@@ -2327,6 +2336,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # one row per column: nulls + min/max; VARCHAR cast == str() for
+        # the int/string columns documents has; binary string collation
+        "profile_documents": """
+            SELECT 'doc_id' AS column, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(doc_id))::BIGINT AS n_null,
+                   CAST(min(doc_id) AS VARCHAR) AS min_v,
+                   CAST(max(doc_id) AS VARCHAR) AS max_v
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*)::BIGINT,
+                   (count(*) - count(lang))::BIGINT,
+                   min(lang), max(lang) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*)::BIGINT,
+                   (count(*) - count(n_chars))::BIGINT,
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'source', count(*)::BIGINT,
+                   (count(*) - count(source))::BIGINT,
+                   min(source), max(source) FROM documents
+            UNION ALL
+            SELECT 'text', count(*)::BIGINT,
+                   (count(*) - count(text))::BIGINT,
+                   min(text), max(text) FROM documents
         """,
         # 3×MAD robust outliers per type; integer cents, quantile_disc
         # medians — same ceil-rank rule as the engine's histogram scan

@@ -157,6 +157,7 @@ def run_suite() -> dict:
         "rare_token_stats",
         "events_debounce",
         "events_outliers",
+        "profile_documents",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

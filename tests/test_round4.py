@@ -1132,3 +1132,30 @@ def test_mad_outliers_exact_thresholds(ray_session):
     )
     out2 = mad_outliers(ray.data.from_arrow(t2), k=1).to_pandas()
     assert sorted(out2.cents) == [1, 2, 8, 9]
+
+
+def test_profile_table_typed_minmax_and_nulls(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.profile import profile_table
+
+    # ints that stringify out of order (9 vs 10) across two blocks —
+    # a string-domain combine would report min_v "10"
+    t1 = pa.table(
+        {
+            "a": pa.array([9, 100], pa.int64()),
+            "s": pa.array(["zz", None], pa.string()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "a": pa.array([10, None], pa.int64()),
+            "s": pa.array(["aa", "mm"], pa.string()),
+        }
+    )
+    out = profile_table(ray.data.from_arrow([t1, t2]))
+    d = {r["column"]: r for r in out.to_pylist()}
+    assert d["a"]["n_rows"] == 4 and d["a"]["n_null"] == 1
+    assert d["a"]["min_v"] == "9" and d["a"]["max_v"] == "100"
+    assert d["s"]["n_null"] == 1
+    assert d["s"]["min_v"] == "aa" and d["s"]["max_v"] == "zz"
