@@ -566,6 +566,15 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_rollup_stats(sf_dir: str):
+    """GROUPING-SETS rollup of doc counts + char sums over
+    (lang, source): all four aggregation levels from one combiner pass,
+    coarser levels folded exactly from the bounded finest level."""
+    from quichash_ray.pipelines.textstats import rollup_stats
+
+    return rollup_stats(_docs(sf_dir))
+
+
 def _q_profile_documents(sf_dir: str):
     """Single-pass table profile of documents (nulls + typed min/max per
     column, no shuffle — partials are columns×4 values per block)."""
@@ -1402,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": _q_events_debounce,
         "events_outliers": _q_events_outliers,
         "profile_documents": _q_profile_documents,
+        "rollup_stats": _q_rollup_stats,
     }
 
 
@@ -2336,6 +2346,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # GROUPING SETS at all four levels; NULL marks aggregated dims
+        "rollup_stats": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_n_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         """,
         # one row per column: nulls + min/max; VARCHAR cast == str() for
         # the int/string columns documents has; binary string collation

@@ -158,6 +158,7 @@ def run_suite() -> dict:
         "events_debounce",
         "events_outliers",
         "profile_documents",
+        "rollup_stats",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

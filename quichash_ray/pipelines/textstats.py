@@ -768,3 +768,90 @@ def rare_token_stats(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def rollup_stats(
+    ds: Dataset,
+    dims: tuple[str, str] = ("lang", "source"),
+    measure: str = "n_chars",
+) -> pa.Table:
+    """GROUPING-SETS rollup — counts and measure sums at every
+    aggregation level ((a,b), (a), (b), ()) in ONE pass: the combiner
+    shuffle carries only (a, b, partial_count, partial_sum) rows, the
+    finest level lands on the driver (bounded by |a|×|b| group
+    cardinality by contract), and the coarser levels fold from it
+    exactly — integer arithmetic, no re-scan per level. NULL marks an
+    aggregated-out dimension, as SQL GROUPING SETS does.
+
+    → (dims[0], dims[1], n_docs, sum_<measure>) pa.Table.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    a, b = dims
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                a: t[a].to_pandas(),
+                b: t[b].to_pandas(),
+                "m": np.asarray(pc.cast(t[measure], pa.int64())),
+            }
+        )
+        g = df.groupby([a, b], sort=False).agg(
+            cnt=("m", "size"), s=("m", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                a: pa.array(g[a].to_numpy(), pa.string()),
+                b: pa.array(g[b].to_numpy(), pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    fine = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby([a, b])
+        .sum(["cnt", "s"])
+        .take_all()
+    )  # bounded by group cardinality
+    df = pd.DataFrame(
+        [
+            {
+                a: r[a],
+                b: r[b],
+                "n_docs": int(r["sum(cnt)"]),
+                "sum_m": int(r["sum(s)"]),
+            }
+            for r in fine
+        ]
+    )
+    levels = [df]
+    for keep in ([a], [b], []):
+        g = (
+            df.groupby(keep, sort=False)[["n_docs", "sum_m"]].sum().reset_index()
+            if keep
+            else pd.DataFrame(
+                {"n_docs": [df["n_docs"].sum()], "sum_m": [df["sum_m"].sum()]}
+            )
+        )
+        for missing in (c for c in (a, b) if c not in keep):
+            g[missing] = None
+        levels.append(g[[a, b, "n_docs", "sum_m"]])
+    allrows = pd.concat(levels, ignore_index=True)
+    return pa.table(
+        {
+            a: pa.array(allrows[a].tolist(), pa.string()),
+            b: pa.array(allrows[b].tolist(), pa.string()),
+            "n_docs": pa.array(
+                allrows["n_docs"].to_numpy().astype("int64")
+            ),
+            f"sum_{measure}": pa.array(
+                allrows["sum_m"].to_numpy().astype("int64")
+            ),
+        }
+    )

@@ -1159,3 +1159,25 @@ def test_profile_table_typed_minmax_and_nulls(ray_session):
     assert d["a"]["min_v"] == "9" and d["a"]["max_v"] == "100"
     assert d["s"]["n_null"] == 1
     assert d["s"]["min_v"] == "aa" and d["s"]["max_v"] == "zz"
+
+
+def test_rollup_stats_levels(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import rollup_stats
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en", "en", "fr"], pa.string()),
+            "source": pa.array(["a", "b", "a"], pa.string()),
+            "n_chars": pa.array([10, 20, 40], pa.int64()),
+        }
+    )
+    out = rollup_stats(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 3 + 2 + 2 + 1  # fine + lang + source + total
+    total = out[out.lang.isna() & out.source.isna()].iloc[0]
+    assert total.n_docs == 3 and total.sum_n_chars == 70
+    en = out[(out.lang == "en") & out.source.isna()].iloc[0]
+    assert en.n_docs == 2 and en.sum_n_chars == 30
+    a = out[out.lang.isna() & (out.source == "a")].iloc[0]
+    assert a.n_docs == 2 and a.sum_n_chars == 50
