@@ -566,6 +566,15 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_lang_length_quantiles(sf_dir: str):
+    """Exact per-language token-length quantiles — per-domain length
+    calibration; combiner histogram bounded by langs × distinct
+    lengths, ceil-rank rule per group."""
+    from quichash_ray.pipelines.textstats import group_length_quantiles
+
+    return group_length_quantiles(_docs(sf_dir))
+
+
 def _q_rollup_stats(sf_dir: str):
     """GROUPING-SETS rollup of doc counts + char sums over
     (lang, source): all four aggregation levels from one combiner pass,
@@ -1412,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "profile_documents": _q_profile_documents,
         "rollup_stats": _q_rollup_stats,
+        "lang_length_quantiles": _q_lang_length_quantiles,
     }
 
 
@@ -2346,6 +2356,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # per-language quantile_disc — same ceil-rank rule as the engine
+        "lang_length_quantiles": r"""
+            WITH lens AS (
+                SELECT lang,
+                       len(regexp_extract_all(
+                           text, '[^ \t\n\f\r]+'))::BIGINT AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT lang, quantile_disc(n, 0.25)::BIGINT AS p25,
+                   quantile_disc(n, 0.50)::BIGINT AS p50,
+                   quantile_disc(n, 0.75)::BIGINT AS p75,
+                   count(*)::BIGINT AS n_docs
+            FROM lens GROUP BY lang
         """,
         # GROUPING SETS at all four levels; NULL marks aggregated dims
         "rollup_stats": """

@@ -159,6 +159,7 @@ def run_suite() -> dict:
         "events_outliers",
         "profile_documents",
         "rollup_stats",
+        "lang_length_quantiles",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -855,3 +855,102 @@ def rollup_stats(
             ),
         }
     )
+
+
+def group_length_quantiles(
+    ds: Dataset,
+    group_col: str = "lang",
+    quantiles: tuple[float, ...] = (0.25, 0.50, 0.75),
+    text_col: str = "text",
+) -> pa.Table:
+    """Exact per-group token-length quantiles — the per-domain
+    calibration view of :func:`doc_length_quantiles` (each language /
+    source gets its own length thresholds). Same shape guarantee: the
+    combiner shuffle carries (group, length, count) rows — bounded by
+    groups × distinct lengths, never docs — and the driver applies the
+    ceil-rank ``quantile_disc`` rule per group over the cumulative
+    counts. → (group_col, p25, p50, p75, n_docs) pa.Table.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        n_tok = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[^ \t\n\f\r]+"),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "g": b[group_col].to_pandas(),
+                "n": np.asarray(n_tok, dtype="float64"),
+            }
+        ).dropna(subset=["n"])
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        vc = (
+            df.astype({"n": "int64"})
+            .groupby(["g", "n"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "g": pa.array(vc["g"].to_numpy(), pa.string()),
+                "n": pa.array(vc["n"].to_numpy(), pa.int64()),
+                "cnt": pa.array(vc["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby(["g", "n"])
+        .sum("cnt")
+        .take_all()
+    )  # bounded by groups × distinct lengths
+    by_g: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((int(r["n"]), int(r["sum(cnt)"])))
+    out: dict[str, list] = {group_col: []}
+    for q in quantiles:
+        out[f"p{int(q * 100)}"] = []
+    out["n_docs"] = []
+    for gname in sorted(by_g):
+        vc = by_g[gname]
+        ns = np.array([x[0] for x in vc], dtype=np.int64)
+        cs = np.array([x[1] for x in vc], dtype=np.int64)
+        order = np.argsort(ns)
+        ns, cs = ns[order], cs[order]
+        cum = np.cumsum(cs)
+        total = int(cum[-1])
+        out[group_col].append(gname)
+        for q in quantiles:
+            rank = max(1, math.ceil(q * total))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out[f"p{int(q * 100)}"].append(int(ns[idx]))
+        out["n_docs"].append(total)
+    return pa.table(
+        {
+            group_col: pa.array(out[group_col], pa.string()),
+            **{
+                f"p{int(q * 100)}": pa.array(
+                    out[f"p{int(q * 100)}"], pa.int64()
+                )
+                for q in quantiles
+            },
+            "n_docs": pa.array(out["n_docs"], pa.int64()),
+        }
+    )

@@ -1181,3 +1181,28 @@ def test_rollup_stats_levels(ray_session):
     assert en.n_docs == 2 and en.sum_n_chars == 30
     a = out[out.lang.isna() & (out.source == "a")].iloc[0]
     assert a.n_docs == 2 and a.sum_n_chars == 50
+
+
+def test_group_length_quantiles_ceilrank(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.textstats import group_length_quantiles
+
+    # lang x: lengths 1..4 → p25=1 p50=2 p75=3; lang y: [5,5,7] → 5,5,7
+    texts = ["w", "w w", "w w w", "w w w w", "a a a a a",
+             "b b b b b", "c c c c c c c"]
+    langs = ["x"] * 4 + ["y"] * 3
+    t = pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        group_length_quantiles(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("lang")
+    )
+    x, y = out.loc["x"], out.loc["y"]
+    assert (x.p25, x.p50, x.p75, x.n_docs) == (1, 2, 3, 4)
+    assert (y.p25, y.p50, y.p75, y.n_docs) == (5, 5, 7, 3)
