@@ -566,6 +566,15 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_ngram_novelty(sf_dir: str):
+    """Per-doc 5-gram novelty vs all lower-id docs (arrival-order
+    marginal-information score); gram owner = min doc id, one double
+    division for the ratio."""
+    from quichash_ray.pipelines.ngram import ngram_novelty
+
+    return ngram_novelty(_docs(sf_dir), k=5)
+
+
 def _q_lang_length_quantiles(sf_dir: str):
     """Exact per-language token-length quantiles — per-domain length
     calibration; combiner histogram bounded by langs × distinct
@@ -1422,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "rollup_stats": _q_rollup_stats,
         "lang_length_quantiles": _q_lang_length_quantiles,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -2356,6 +2366,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # per-doc gram novelty: owner = min(doc_id) per distinct gram
+        "ngram_novelty": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(range(1, greatest(len(t) - 3, 1))) AS i
+                FROM toks
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                            || t[i+3] || ' ' || t[i+4] AS g
+                FROM idx
+            ),
+            own AS (SELECT g, min(doc_id) AS owner FROM grams GROUP BY 1),
+            nov AS (
+                SELECT owner AS doc_id, count(*)::BIGINT AS n_novel
+                FROM own GROUP BY 1
+            ),
+            tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_grams
+                FROM grams GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+                   coalesce(n.n_novel, 0)::DOUBLE / t.n_grams AS novelty
+            FROM tot t LEFT JOIN nov n USING (doc_id)
         """,
         # per-language quantile_disc — same ceil-rank rule as the engine
         "lang_length_quantiles": r"""

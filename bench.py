@@ -160,6 +160,7 @@ def run_suite() -> dict:
         "profile_documents",
         "rollup_stats",
         "lang_length_quantiles",
+        "ngram_novelty",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -404,3 +404,69 @@ def similar_docs_topk(
         )
 
     return hash_exchange(sym, "part", topk, num_partitions)
+
+
+def ngram_novelty(
+    ds: Dataset,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-document n-gram novelty — the fraction of a doc's distinct
+    k-grams that no LOWER-id document contains (id order standing in
+    for crawl/arrival order): the curriculum / marginal-information
+    signal ("how much of this doc is new to the corpus?").
+    → (doc_id, n_grams, n_novel, novelty).
+
+    Shape: distinct shingles → groupby(gram) Min(id) assigns each gram
+    one owner → owner counts + per-doc totals, joined by
+    ``attach_lookup`` (broadcast ↔ co-partitioned join tiers). Every
+    shuffle carries (gram-hash, id) or (id, count) rows — content never
+    moves. ``novelty`` is one double division of the same int64s on
+    engine and oracle.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min as AggMin
+
+    from quichash_ray.stages.lookup import attach_lookup
+
+    shingles = shingle_table(ds, k, id_col, text_col)
+    totals = gram_totals(shingles, id_col)
+    owners = shingles.groupby("gram").aggregate(
+        AggMin(id_col, alias_name="owner")
+    )
+    novel = owners.groupby("owner").aggregate(Count(alias_name="n_novel"))
+    out = attach_lookup(
+        totals,
+        novel,
+        key_col=id_col,
+        value_col="n_novel",
+        out_col="n_novel",
+        key_col_in_mapping="owner",
+        default=0,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_grams" not in b.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_novel": pa.array([], pa.int64()),
+                    "novelty": pa.array([], pa.float64()),
+                }
+            )
+        ng = pc.cast(b["n_grams"], pa.int64())
+        nv = pc.cast(b["n_novel"], pa.int64())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_grams": ng,
+                "n_novel": nv,
+                "novelty": pc.divide(
+                    pc.cast(nv, pa.float64()), pc.cast(ng, pa.float64())
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

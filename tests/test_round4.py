@@ -1206,3 +1206,35 @@ def test_group_length_quantiles_ceilrank(ray_session):
     x, y = out.loc["x"], out.loc["y"]
     assert (x.p25, x.p50, x.p75, x.n_docs) == (1, 2, 3, 4)
     assert (y.p25, y.p50, y.p75, y.n_docs) == (5, 5, 7, 3)
+
+
+def test_ngram_novelty_owner_rule(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.ngram import ngram_novelty
+
+    base = "a b c d e f"  # grams (k=5): "a b c d e", "b c d e f"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    base,                    # owns both its grams
+                    base + " g",             # 3 grams, 2 owned by doc 1
+                    "x y z w v u",           # all novel
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        ngram_novelty(ray.data.from_arrow(t), k=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out.loc[1].n_grams, out.loc[1].n_novel) == (2, 2)
+    assert (out.loc[2].n_grams, out.loc[2].n_novel) == (3, 1)
+    assert out.loc[2].novelty == 1 / 3
+    assert (out.loc[3].n_grams, out.loc[3].n_novel) == (2, 2)
+    assert out.loc[3].novelty == 1.0
