@@ -566,6 +566,41 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_tpch_pricing_summary(sf_dir: str):
+    """Q1-style pricing summary over lineitem — integer cents/percent
+    products and sums (no float accumulation), combiner pattern over
+    the tiny (returnflag, linestatus) key space."""
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import pricing_summary
+
+    return pricing_summary(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def _q_tpch_top_orders(sf_dir: str):
+    """Q3-style top-10 orders by revenue: big×big equi-join as ONE
+    orderkey-hash exchange over both filtered projections; per-order
+    revenue completes locally; only the order-level aggregate sorts."""
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import top_orders_by_revenue
+
+    return top_orders_by_revenue(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+            ],
+        ),
+    )
+
+
 def _q_ngram_novelty(sf_dir: str):
     """Per-doc 5-gram novelty vs all lower-id docs (arrival-order
     marginal-information score); gram owner = min doc id, one double
@@ -1432,6 +1467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_stats": _q_rollup_stats,
         "lang_length_quantiles": _q_lang_length_quantiles,
         "ngram_novelty": _q_ngram_novelty,
+        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "tpch_top_orders": _q_tpch_top_orders,
     }
 
 
@@ -2366,6 +2403,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT digest, count(*)::BIGINT AS cnt,
                    min(doc_id)::BIGINT AS rep
             FROM canon GROUP BY digest HAVING count(*) >= 2
+        """,
+        # Q1-style: integer cents (round() half-away both sides), percent
+        # points; sums exact int64, avgs one double division
+        "tpch_pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tx
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            )
+            SELECT l_returnflag, l_linestatus,
+                   sum(q)::BIGINT AS sum_qty,
+                   sum(p)::BIGINT AS sum_base,
+                   sum(p * (100 - d))::BIGINT AS sum_disc,
+                   sum(p * (100 - d) * (100 + tx))::BIGINT AS sum_charge,
+                   count(*)::BIGINT AS cnt,
+                   sum(q)::DOUBLE / count(*) AS avg_qty,
+                   sum(p)::DOUBLE / count(*) AS avg_price
+            FROM c GROUP BY 1, 2
+        """,
+        # Q3-style: revenue in cent·pct int64; ties broken by orderkey
+        "tpch_top_orders": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+            GROUP BY 1
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
         """,
         # per-doc gram novelty: owner = min(doc_id) per distinct gram
         "ngram_novelty": r"""

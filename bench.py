@@ -161,6 +161,8 @@ def run_suite() -> dict:
         "rollup_stats",
         "lang_length_quantiles",
         "ngram_novelty",
+        "tpch_pricing_summary",
+        "tpch_top_orders",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -1,0 +1,243 @@
+"""Classic warehouse analytics over the TPC-H-shaped tables — the
+general-query surface of the engine (scan-filter-aggregate and a
+big×big equi-join), INTEGER-EXACT throughout.
+
+Money stays in int64 cents (half-away-from-zero ×100, DuckDB
+``round()``'s rule) and rates in int64 percent points, so revenue math
+is products and sums of int64s — hash-identical to the SQL oracle with
+zero float accumulation-order hazards; the only doubles are final
+single divisions for averages.
+
+Shapes:
+- :func:`pricing_summary` (Q1-style): the combiner pattern — per-batch
+  pandas partials over the tiny (returnflag, linestatus) key space, one
+  vocabulary-sized groupby-sum, divisions at the end. One scan, one
+  bounded shuffle.
+- :func:`top_orders_by_revenue` (Q3-style): a big×big join done as ONE
+  orderkey-hash exchange over the union of both filtered projections —
+  all rows of a key land in one partition, so the semi-join and the
+  per-order revenue sum complete locally; only the order-cardinality
+  aggregate is sorted for the top-k. Content columns are pruned at the
+  parquet read on both tables.
+
+Reference analog: none (quichash is a hashing tool); graft-mandated
+general data-processing surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+
+def _cents(col, scale: float = 100.0):
+    return pc.cast(
+        pc.round(
+            pc.multiply(col, pa.scalar(scale)),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
+def pricing_summary(lineitem: Dataset, cutoff: str = "2000-01-01") -> Dataset:
+    """Q1-style pricing summary per (returnflag, linestatus) for rows
+    shipped on/before ``cutoff``: integer sums of qty (units), base
+    price (cents), discounted price (cent·pct) and charge
+    (cent·pct·pct), plus count and three single-division averages."""
+    cut = pd.Timestamp(cutoff).to_datetime64()
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b["l_shipdate"], pa.scalar(cut))
+        t = b.filter(pc.fill_null(keep, False))
+        empty = pa.table(
+            {
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "sum_qty": pa.array([], pa.int64()),
+                "sum_base": pa.array([], pa.int64()),
+                "sum_disc": pa.array([], pa.int64()),
+                "sum_charge": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qty = np.asarray(pc.cast(t["l_quantity"], pa.int64()))
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_h = np.asarray(_cents(t["l_discount"]))  # percent points
+        tax_h = np.asarray(_cents(t["l_tax"]))
+        disc_price = price_c * (100 - disc_h)
+        charge = disc_price * (100 + tax_h)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "q": qty,
+                "b": price_c,
+                "d": disc_price,
+                "c": charge,
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("q", "sum"),
+            sum_base=("b", "sum"),
+            sum_disc=("d", "sum"),
+            sum_charge=("c", "sum"),
+            cnt=("q", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(
+            g.astype(
+                {
+                    "sum_qty": "int64",
+                    "sum_base": "int64",
+                    "sum_disc": "int64",
+                    "sum_charge": "int64",
+                    "cnt": "int64",
+                }
+            ),
+            preserve_index=False,
+        )
+
+    agg = (
+        lineitem.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base", "sum_disc", "sum_charge", "cnt"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = [
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base",
+            "sum_disc", "sum_charge", "cnt", "avg_qty", "avg_price",
+        ]
+        if b.num_rows == 0 or "sum(cnt)" not in b.column_names:
+            return pa.table(
+                {
+                    c: pa.array(
+                        [],
+                        pa.string() if c.startswith("l_") else (
+                            pa.float64() if c.startswith("avg") else pa.int64()
+                        ),
+                    )
+                    for c in cols
+                }
+            )
+        cnt = pc.cast(b["sum(cnt)"], pa.int64())
+        sq = pc.cast(b["sum(sum_qty)"], pa.int64())
+        sb = pc.cast(b["sum(sum_base)"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": sq,
+                "sum_base": sb,
+                "sum_disc": pc.cast(b["sum(sum_disc)"], pa.int64()),
+                "sum_charge": pc.cast(b["sum(sum_charge)"], pa.int64()),
+                "cnt": cnt,
+                "avg_qty": pc.divide(
+                    pc.cast(sq, pa.float64()), pc.cast(cnt, pa.float64())
+                ),
+                "avg_price": pc.divide(
+                    pc.cast(sb, pa.float64()), pc.cast(cnt, pa.float64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def top_orders_by_revenue(
+    orders: Dataset,
+    lineitem: Dataset,
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Q3-style: revenue = Σ price·(100−disc) per order, for orders
+    placed BEFORE ``cutoff`` with items shipped ON/AFTER it; top ``k``
+    by (revenue DESC, orderkey ASC). One orderkey-hash exchange over
+    the union of both filtered projections — the join and the per-order
+    sum complete inside each partition."""
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    cut = pd.Timestamp(cutoff).to_datetime64()
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            lineitem, bytes_per_row=24, target_bytes=32 << 20
+        )
+
+    def o_side(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["o_orderdate"], pa.scalar(cut))
+        t = b.filter(pc.fill_null(keep, False))
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "rev": pa.nulls(t.num_rows, pa.int64()),  # marker: order row
+                "part": pa.array(
+                    np.asarray(key) % num_parts, pa.int64()
+                ),
+            }
+        )
+
+    def l_side(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b["l_shipdate"], pa.scalar(cut))
+        t = b.filter(pc.fill_null(keep, False))
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_h = np.asarray(_cents(t["l_discount"]))
+        return pa.table(
+            {
+                "key": key,
+                "rev": pa.array(price_c * (100 - disc_h), pa.int64()),
+                "part": pa.array(
+                    np.asarray(key) % num_parts, pa.int64()
+                ),
+            }
+        )
+
+    tagged = orders.map_batches(
+        o_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        lineitem.map_batches(
+            l_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def join_sum(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        df = g.to_pandas()
+        is_order = df["rev"].isna()
+        okeys = set(df.loc[is_order, "key"])
+        li = df[~is_order & df["key"].isin(okeys)]
+        if len(li) == 0:
+            return empty
+        out = (
+            li.groupby("key", sort=False)["rev"].sum().reset_index()
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(out["key"].to_numpy(), pa.int64()),
+                "revenue": pa.array(
+                    out["rev"].to_numpy().astype("int64")
+                ),
+            }
+        )
+
+    per_order = hash_exchange(tagged, "part", join_sum, num_parts)
+    return per_order.sort(
+        ["revenue", "o_orderkey"], descending=[True, False]
+    ).limit(k)

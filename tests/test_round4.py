@@ -1238,3 +1238,45 @@ def test_ngram_novelty_owner_rule(ray_session):
     assert out.loc[2].novelty == 1 / 3
     assert (out.loc[3].n_grams, out.loc[3].n_novel) == (2, 2)
     assert out.loc[3].novelty == 1.0
+
+
+def test_top_orders_join_semantics(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import top_orders_by_revenue
+
+    cut = dt.datetime(1998, 1, 1)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [cut - dt.timedelta(days=9), cut - dt.timedelta(days=1),
+                 cut],  # order 3 placed ON cutoff → excluded
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3, 9], pa.int64()),
+            "l_extendedprice": pa.array(
+                [10.0, 5.0, 100.0, 7.0, 3.0], pa.float64()
+            ),
+            "l_discount": pa.array([0.0, 0.1, 0.05, 0.0, 0.0], pa.float64()),
+            "l_shipdate": pa.array(
+                [cut, cut + dt.timedelta(days=1),
+                 cut - dt.timedelta(days=1),  # shipped before → excluded
+                 cut, cut],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    out = top_orders_by_revenue(
+        ray.data.from_arrow(orders), ray.data.from_arrow(li), k=10
+    ).to_pandas()
+    # order 1: 1000*100 + 500*90 = 145000; order 2 item shipped early;
+    # order 3 not placed before cutoff; key 9 has no order row
+    assert out.o_orderkey.tolist() == [1]
+    assert out.revenue.tolist() == [145000]
