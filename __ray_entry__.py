@@ -601,6 +601,32 @@ def _q_tpch_top_orders(sf_dir: str):
     )
 
 
+def _q_tpch_revenue_by_nation(sf_dir: str):
+    """Q5-style four-table join with size-tiered join strategies:
+    orderkey exchange for lineitem⨝orders, broadcast↔join lookup for
+    customer, driver dict for the 25-row nation dim."""
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import revenue_by_nation
+
+    return revenue_by_nation(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"),
+        year=1997,
+    )
+
+
 def _q_ngram_novelty(sf_dir: str):
     """Per-doc 5-gram novelty vs all lower-id docs (arrival-order
     marginal-information score); gram owner = min doc id, one double
@@ -1469,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": _q_ngram_novelty,
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_orders": _q_tpch_top_orders,
+        "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
     }
 
 
@@ -2439,6 +2466,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # Q5-style 4-table join; revenue in cent·pct int64
+        "tpch_revenue_by_nation": """
+            SELECT n.n_name,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
         """,
         # per-doc gram novelty: owner = min(doc_id) per distinct gram
         "ngram_novelty": r"""

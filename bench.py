@@ -163,6 +163,7 @@ def run_suite() -> dict:
         "ngram_novelty",
         "tpch_pricing_summary",
         "tpch_top_orders",
+        "tpch_revenue_by_nation",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

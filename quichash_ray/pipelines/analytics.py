@@ -241,3 +241,158 @@ def top_orders_by_revenue(
     return per_order.sort(
         ["revenue", "o_orderkey"], descending=[True, False]
     ).limit(k)
+
+
+def revenue_by_nation(
+    orders: Dataset,
+    lineitem: Dataset,
+    customer: Dataset,
+    nation: Dataset,
+    year: int = 1997,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Q5-style multi-way join: lineitem ⨝ orders ⨝ customer ⨝ nation,
+    revenue per nation for orders placed in ``year``. Join tiering by
+    table size: the big×big lineitem⨝orders leg is one orderkey-hash
+    exchange (custkey rides back out with the local revenue partials);
+    customer attaches through the broadcast↔co-partitioned lookup; the
+    nation dimension (25 rows) is a driver dict in the task closure.
+    → (n_name, revenue, n_items)."""
+    import pandas as pd
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.lookup import attach_lookup
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    lo = pd.Timestamp(f"{year}-01-01").to_datetime64()
+    hi = pd.Timestamp(f"{year + 1}-01-01").to_datetime64()
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            lineitem, bytes_per_row=24, target_bytes=32 << 20
+        )
+
+    def o_side(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi)),
+        )
+        t = b.filter(pc.fill_null(keep, False))
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "rev": pa.nulls(t.num_rows, pa.int64()),
+                "part": pa.array(np.asarray(key) % num_parts, pa.int64()),
+            }
+        )
+
+    def l_side(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["l_orderkey"], pa.int64())
+        price_c = np.asarray(_cents(b["l_extendedprice"]))
+        disc_h = np.asarray(_cents(b["l_discount"]))
+        return pa.table(
+            {
+                "key": key,
+                "custkey": pa.nulls(b.num_rows, pa.int64()),
+                "rev": pa.array(price_c * (100 - disc_h), pa.int64()),
+                "part": pa.array(np.asarray(key) % num_parts, pa.int64()),
+            }
+        )
+
+    tagged = orders.map_batches(
+        o_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        lineitem.map_batches(
+            l_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def join_to_cust(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "custkey": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        df = g.to_pandas()
+        is_order = df["rev"].isna()
+        omap = df.loc[is_order, ["key", "custkey"]]
+        li = df[~is_order].merge(
+            omap, on="key", suffixes=("", "_o")
+        )
+        if len(li) == 0:
+            return empty
+        out = (
+            li.groupby("custkey_o", sort=False)
+            .agg(rev=("rev", "sum"), n_items=("rev", "size"))
+            .reset_index()
+            .rename(columns={"custkey_o": "custkey"})
+        )
+        return pa.Table.from_pandas(
+            out.astype("int64"), preserve_index=False
+        )
+
+    per_cust = hash_exchange(tagged, "part", join_to_cust, num_parts)
+    with_nat = attach_lookup(
+        per_cust,
+        customer,
+        key_col="custkey",
+        value_col="c_nationkey",
+        out_col="nationkey",
+        key_col_in_mapping="c_custkey",
+    )
+    # nation is a 25-row dimension — driver dict by contract
+    nmap = {
+        int(r["n_nationkey"]): r["n_name"] for r in nation.take_all()
+    }
+
+    def name_it(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "rev": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        names = pd.Series(np.asarray(b["nationkey"])).map(nmap)
+        return pa.table(
+            {
+                "n_name": pa.array(names.to_numpy(), pa.string()),
+                "rev": pc.cast(b["rev"], pa.int64()),
+                "n_items": pc.cast(b["n_items"], pa.int64()),
+            }
+        )
+
+    agg = (
+        with_nat.map_batches(
+            name_it, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("n_name")
+        .sum(["rev", "n_items"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(rev)" not in b.column_names:
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "revenue": pc.cast(b["sum(rev)"], pa.int64()),
+                "n_items": pc.cast(b["sum(n_items)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
