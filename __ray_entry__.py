@@ -566,6 +566,15 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Context-window preparation: split every doc into consecutive
+    64-token chunks — vectorized list_slice/binary_join per chunk
+    position, zero shuffles."""
+    from quichash_ray.pipelines.packing import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), max_tok=64)
+
+
 def _q_tpch_pricing_summary(sf_dir: str):
     """Q1-style pricing summary over lineitem — integer cents/percent
     products and sums (no float accumulation), combiner pattern over
@@ -1496,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "tpch_top_orders": _q_tpch_top_orders,
         "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -2466,6 +2476,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # 64-token windows; DuckDB list slice is 1-based inclusive
+        "chunk_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\f\r]+') AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT doc_id, t,
+                       unnest(range(0, (len(t) + 63) // 64)) AS ci
+                FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id, ci::BIGINT AS chunk_idx,
+                   array_to_string(
+                       t[ci * 64 + 1 : least((ci + 1) * 64, len(t))],
+                       ' ') AS chunk_text,
+                   (least((ci + 1) * 64, len(t)) - ci * 64)::BIGINT
+                       AS n_tok
+            FROM c
         """,
         # Q5-style 4-table join; revenue in cent·pct int64
         "tpch_revenue_by_nation": """

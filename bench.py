@@ -164,6 +164,7 @@ def run_suite() -> dict:
         "tpch_pricing_summary",
         "tpch_top_orders",
         "tpch_revenue_by_nation",
+        "chunk_documents",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

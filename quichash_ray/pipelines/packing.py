@@ -131,3 +131,94 @@ def pack_sequences(
         for (_, r), off in zip(live, offsets)
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def chunk_documents(
+    ds,
+    max_tok: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split every document into consecutive ``max_tok``-token training
+    windows — the context-window preparation step (each chunk becomes
+    one training example). → (doc_id, chunk_idx, chunk_text, n_tok).
+
+    Fully vectorized and shuffle-free: texts are whitespace-trimmed once
+    so the RE2 split yields clean token lists, then ``pc.list_slice`` +
+    ``pc.binary_join`` run once per chunk INDEX (the loop is over chunk
+    positions ≤ ceil(max_doc_len / max_tok), never over rows or
+    tokens) — O(total_tokens) per batch regardless of document count.
+    The SQL oracle mirrors the slicing with 1-based inclusive bounds.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tok": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        text = b[text_col].combine_chunks() if isinstance(
+            b[text_col], pa.ChunkedArray
+        ) else b[text_col]
+        ids = b[id_col].combine_chunks() if isinstance(
+            b[id_col], pa.ChunkedArray
+        ) else b[id_col]
+        n = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[^ \t\n\f\r]+"),
+            pa.int64(),
+        )
+        has_any = pc.fill_null(pc.greater(n, pa.scalar(0, pa.int64())), False)
+        text = text.filter(has_any)
+        ids = ids.filter(has_any)
+        n = n.filter(has_any)
+        if len(ids) == 0:
+            return empty
+        # trimmed text splits into clean token lists (no edge empties;
+        # interior whitespace runs are single separators)
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim(text, characters=" \t\n\f\r"),
+            pattern=r"[ \t\n\f\r]+",
+        )
+        max_n = pc.max(n).as_py()
+        outs = []
+        ci = 0
+        while ci * max_tok < max_n:
+            has = pc.greater(n, pa.scalar(ci * max_tok, pa.int64()))
+            sl = lists.filter(has)
+            sid = ids.filter(has)
+            sn = n.filter(has)
+            sliced = pc.list_slice(
+                sl, start=ci * max_tok, stop=(ci + 1) * max_tok
+            )
+            outs.append(
+                pa.table(
+                    {
+                        id_col: pc.cast(sid, pa.int64()),
+                        "chunk_idx": pa.array(
+                            [ci] * len(sid), pa.int64()
+                        ),
+                        "chunk_text": pc.binary_join(
+                            sliced, pa.scalar(" ")
+                        ),
+                        "n_tok": pc.min_element_wise(
+                            pc.subtract(
+                                sn, pa.scalar(ci * max_tok, pa.int64())
+                            ),
+                            pa.scalar(max_tok, pa.int64()),
+                        ),
+                    }
+                )
+            )
+            ci += 1
+        return pa.concat_tables(outs) if outs else empty
+
+    return ds.map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

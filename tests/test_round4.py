@@ -1280,3 +1280,34 @@ def test_top_orders_join_semantics(ray_session):
     # order 3 not placed before cutoff; key 9 has no order row
     assert out.o_orderkey.tolist() == [1]
     assert out.revenue.tolist() == [145000]
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["  " + " ".join(toks) + "  ",  # edge whitespace
+                 "a b c", None],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        chunk_documents(ray.data.from_arrow(t), max_tok=4)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert list(d1.n_tok) == [4, 4, 2]
+    assert d1.iloc[0].chunk_text == "t0 t1 t2 t3"
+    assert d1.iloc[2].chunk_text == "t8 t9"
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_text == "a b c"
+    assert 3 not in set(out.doc_id)
