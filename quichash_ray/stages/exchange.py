@@ -147,6 +147,11 @@ def hash_exchange(
 
     @ray.remote
     def split_block(t: pa.Table, P: int):
+        if not isinstance(t, pa.Table):
+            # Ray Data materializes schema-less (typically empty) blocks
+            # as pandas even under batch_format="pyarrow" upstream maps —
+            # coerce so the arrow path below is total
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows == 0 or part_col not in t.column_names:
             # Ray passes empty blocks through map_batches without calling
             # the UDF, so an empty block can surface here with the pre-map

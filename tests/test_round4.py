@@ -1311,3 +1311,31 @@ def test_chunk_documents_windows(ray_session):
     d2 = out[out.doc_id == 2]
     assert len(d2) == 1 and d2.iloc[0].chunk_text == "a b c"
     assert 3 not in set(out.doc_id)
+
+
+def test_hash_exchange_accepts_pandas_blocks(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+
+    # Ray Data can surface blocks as pandas (schema-less empties, or
+    # upstream pandas-format maps) — the exchange must coerce, not crash
+    dfs = [
+        pd.DataFrame({"k": [1, 2, 3], "part": [0, 1, 0]}),
+        pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "part": pd.Series([], dtype="int64")}),
+    ]
+    ds = ray.data.from_pandas(dfs)
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"s": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"s": pa.array([pc.sum(t["k"]).as_py()], pa.int64())}
+        )
+
+    out = hash_exchange(ds, "part", agg, 2).to_pandas()
+    assert sorted(out.s.dropna()) == [2, 4]
