@@ -566,6 +566,28 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_top_quality_per_source(sf_dir: str):
+    """Quality-stratified curation: keep the 10 LONGEST docs per source
+    (n_chars DESC, doc_id ASC) — ranked selection by a data column, vs
+    cap_per_source's uniform hash subsample."""
+    from quichash_ray.pipelines.sampling import top_per_group
+
+    return top_per_group(_docs(sf_dir), k=10, score_col="n_chars")
+
+
+def _q_dup_size_histogram(sf_dir: str):
+    """Duplicate-cluster size distribution over the planted-dup corpus:
+    one banded digest exchange, then a combiner over the bounded
+    (cnt, n_groups) histogram."""
+    from quichash_ray.pipelines.dedup import digest_table, dup_size_histogram
+    from quichash_ray.pipelines.derived import dup_planted
+
+    digests = digest_table(
+        dup_planted(_docs(sf_dir)), content_col="text", key_cols=("path",)
+    )
+    return dup_size_histogram(digests, id_col="path")
+
+
 def _q_chunk_documents(sf_dir: str):
     """Context-window preparation: split every doc into consecutive
     64-token chunks — vectorized list_slice/binary_join per chunk
@@ -1506,6 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_top_orders": _q_tpch_top_orders,
         "tpch_revenue_by_nation": _q_tpch_revenue_by_nation,
         "chunk_documents": _q_chunk_documents,
+        "dup_size_histogram": _q_dup_size_histogram,
+        "top_quality_per_source": _q_top_quality_per_source,
     }
 
 
@@ -2476,6 +2500,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # top-10 per source by (n_chars DESC, doc_id) — ranked selection
+        "top_quality_per_source": """
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS BIGINT) AS rnk
+            FROM documents
+            QUALIFY rnk <= 10
+        """,
+        # group-size histogram over planted dups; n_files = cnt*n_groups
+        "dup_size_histogram": f"""
+            WITH {DUP_PLANTED_SQL},
+            per AS (
+                SELECT sha256(text) AS dg, count(*)::BIGINT AS cnt
+                FROM d WHERE text IS NOT NULL GROUP BY 1
+            )
+            SELECT cnt, count(*)::BIGINT AS n_groups,
+                   (cnt * count(*))::BIGINT AS n_files
+            FROM per GROUP BY cnt
         """,
         # 64-token windows; DuckDB list slice is 1-based inclusive
         "chunk_documents": r"""

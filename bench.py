@@ -165,6 +165,8 @@ def run_suite() -> dict:
         "tpch_top_orders",
         "tpch_revenue_by_nation",
         "chunk_documents",
+        "dup_size_histogram",
+        "top_quality_per_source",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

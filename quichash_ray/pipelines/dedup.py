@@ -347,3 +347,63 @@ def analyze_stats(
         )
 
     return final_row()
+
+
+def dup_size_histogram(
+    digests: Dataset,
+    id_col: str = "path",
+) -> Dataset:
+    """Duplicate-cluster size distribution — how big dedup groups are
+    (the capacity-planning / dedup-yield report): one row per group
+    size with the number of groups and files at that size.
+    → (cnt, n_groups, n_files).
+
+    Shape: the audited banded digest exchange (a digest's rows land in
+    one partition, so local per-digest counts are global), then a
+    combiner over the size-histogram — the second shuffle carries
+    (cnt, partial_n_groups) rows, bounded by distinct group sizes.
+    Null digests (skip-and-count rows) are excluded, matching the
+    oracle's WHERE digest IS NOT NULL.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["digest"].notna()]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"cnt": pd.Series([], dtype="int64"),
+                 "n_groups": pd.Series([], dtype="int64")}
+            )
+        per = g.groupby("digest", sort=False)[id_col].size()
+        vc = per.value_counts()
+        return pd.DataFrame(
+            {
+                "cnt": vc.index.to_numpy().astype("int64"),
+                "n_groups": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    partials = _banded_digest_agg(digests, agg)
+    out = partials.groupby("cnt").sum("n_groups")
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(n_groups)" not in b.column_names:
+            return pa.table(
+                {
+                    "cnt": pa.array([], pa.int64()),
+                    "n_groups": pa.array([], pa.int64()),
+                    "n_files": pa.array([], pa.int64()),
+                }
+            )
+        cnt = pc.cast(b["cnt"], pa.int64())
+        ng = pc.cast(b["sum(n_groups)"], pa.int64())
+        return pa.table(
+            {
+                "cnt": cnt,
+                "n_groups": ng,
+                "n_files": pc.multiply(cnt, ng),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -242,3 +242,71 @@ def hash_split(
     return ds.map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def top_per_group(
+    ds: Dataset,
+    k: int,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Ranked per-group selection: keep the ``k`` BEST rows per group by
+    (score DESC, id ASC) — the quality-stratified curation step (vs
+    :func:`cap_per_group`, which subsamples uniformly by hash).
+    → (id_col, group_col, score_col, rnk) with rnk ≤ k. One group-key
+    hash exchange carrying (id, group, score) rows only.
+    """
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            ds, bytes_per_row=48, target_bytes=32 << 20
+        )
+    hash_impl = string_hash_impl()
+
+    def tag(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: b[id_col],
+                group_col: b[group_col],
+                score_col: pc.cast(b[score_col], pa.int64()),
+                "part": key_part_column(
+                    b[group_col], num_parts, impl=hash_impl
+                ),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                group_col: pa.array([], pa.string()),
+                score_col: pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or score_col not in g.column_names:
+            return empty
+        df = g.to_pandas().sort_values(
+            [group_col, score_col, id_col],
+            ascending=[True, False, True],
+        )
+        df["rnk"] = df.groupby(group_col, sort=False).cumcount() + 1
+        kept = df[df["rnk"] <= k]
+        if len(kept) == 0:
+            return empty
+        return pa.Table.from_pandas(
+            kept[[id_col, group_col, score_col, "rnk"]].astype(
+                {"rnk": "int64", score_col: "int64"}
+            ),
+            preserve_index=False,
+        )
+
+    return hash_exchange(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "part",
+        topk,
+        num_parts,
+    )

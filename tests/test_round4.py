@@ -1339,3 +1339,51 @@ def test_hash_exchange_accepts_pandas_blocks(ray_session):
 
     out = hash_exchange(ds, "part", agg, 2).to_pandas()
     assert sorted(out.s.dropna()) == [2, 4]
+
+
+def test_dup_size_histogram(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.dedup import digest_table, dup_size_histogram
+
+    t = pa.table(
+        {
+            "path": pa.array([f"p{i}" for i in range(6)], pa.string()),
+            "text": pa.array(
+                ["x", "x", "x", "y", "y", "z"], pa.string()
+            ),
+        }
+    )
+    digests = digest_table(
+        ray.data.from_arrow(t), content_col="text", key_cols=("path",)
+    )
+    out = (
+        dup_size_histogram(digests)
+        .to_pandas()
+        .set_index("cnt")
+        .sort_index()
+    )
+    assert out.loc[1].n_groups == 1 and out.loc[1].n_files == 1
+    assert out.loc[2].n_groups == 1 and out.loc[2].n_files == 2
+    assert out.loc[3].n_groups == 1 and out.loc[3].n_files == 3
+
+
+def test_top_per_group_ranked(ray_session):
+    import ray.data
+
+    from quichash_ray.pipelines.sampling import top_per_group
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["s", "s", "s", "t"], pa.string()),
+            "n_chars": pa.array([10, 30, 30, 5], pa.int64()),
+        }
+    )
+    out = top_per_group(
+        ray.data.from_arrow(t), k=2, score_col="n_chars"
+    ).to_pandas()
+    s = out[out.source == "s"].sort_values("rnk")
+    # ties on score break to smaller id: 2 then 3; doc 1 cut at k=2
+    assert list(s.doc_id) == [2, 3]
+    assert list(out[out.source == "t"].doc_id) == [4]
