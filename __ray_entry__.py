@@ -566,6 +566,27 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_tpch_late_orders(sf_dir: str):
+    """Q4-style EXISTS semi-join aggregate: orders per priority with ≥1
+    item shipped >90 days after the order date — existence resolved
+    locally inside one orderkey-hash exchange."""
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import late_orders_by_priority
+
+    return late_orders_by_priority(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_shipdate"],
+        ),
+        late_days=90,
+    )
+
+
 def _q_top_quality_per_source(sf_dir: str):
     """Quality-stratified curation: keep the 10 LONGEST docs per source
     (n_chars DESC, doc_id ASC) — ranked selection by a data column, vs
@@ -1530,6 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "dup_size_histogram": _q_dup_size_histogram,
         "top_quality_per_source": _q_top_quality_per_source,
+        "tpch_late_orders": _q_tpch_late_orders,
     }
 
 
@@ -2500,6 +2522,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # Q4-style EXISTS: ≥1 item shipped >90 days after order date
+        "tpch_late_orders": """
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS n_late_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            )
+            GROUP BY 1
         """,
         # top-10 per source by (n_chars DESC, doc_id) — ranked selection
         "top_quality_per_source": """

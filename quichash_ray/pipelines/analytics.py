@@ -396,3 +396,117 @@ def revenue_by_nation(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def late_orders_by_priority(
+    orders: Dataset,
+    lineitem: Dataset,
+    late_days: int = 90,
+    num_parts: int | None = None,
+) -> Dataset:
+    """Q4-style EXISTS semi-join aggregate: count orders per priority
+    having AT LEAST ONE line item shipped more than ``late_days`` after
+    the order date. The existence test needs o_orderdate next to each
+    l_shipdate, so both sides ride one orderkey-hash exchange; each
+    partition resolves EXISTS locally and emits per-priority partial
+    counts (priority-cardinality-sized), finished by a tiny groupby.
+    → (o_orderpriority, n_late_orders)."""
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            lineitem, bytes_per_row=24, target_bytes=32 << 20
+        )
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def o_side(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "prio": b["o_orderpriority"],
+                "ts": pc.cast(b["o_orderdate"], pa.timestamp("us")),
+                "is_order": pa.array(
+                    np.ones(b.num_rows, dtype=bool)
+                ),
+                "part": pa.array(np.asarray(key) % num_parts, pa.int64()),
+            }
+        )
+
+    def l_side(b: pa.Table) -> pa.Table:
+        key = pc.cast(b["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "prio": pa.nulls(b.num_rows, pa.string()),
+                "ts": pc.cast(b["l_shipdate"], pa.timestamp("us")),
+                "is_order": pa.array(
+                    np.zeros(b.num_rows, dtype=bool)
+                ),
+                "part": pa.array(np.asarray(key) % num_parts, pa.int64()),
+            }
+        )
+
+    tagged = orders.map_batches(
+        o_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        lineitem.map_batches(
+            l_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def exists_agg(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        df = g.to_pandas()
+        df["ts_us"] = df["ts"].astype("int64")
+        od = df[df["is_order"]]
+        li = df[~df["is_order"]][["key", "ts_us"]].rename(
+            columns={"ts_us": "ship_us"}
+        )
+        if len(od) == 0 or len(li) == 0:
+            return empty
+        j = li.merge(od[["key", "ts_us"]], on="key")
+        late_keys = set(
+            j.loc[j["ship_us"] - j["ts_us"] > late_us, "key"]
+        )
+        hit = od[od["key"].isin(late_keys)]
+        if len(hit) == 0:
+            return empty
+        out = hit.groupby("prio", sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    out["prio"].to_numpy(), pa.string()
+                ),
+                "n": pa.array(out["n"].to_numpy().astype("int64")),
+            }
+        )
+
+    agg = hash_exchange(tagged, "part", exists_agg, num_parts).groupby(
+        "o_orderpriority"
+    ).sum("n")
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sum(n)" not in b.column_names:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_late_orders": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_late_orders": pc.cast(b["sum(n)"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
