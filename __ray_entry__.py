@@ -566,6 +566,73 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_events_running_total(sf_dir: str):
+    """Cumulative window aggregate: per-user running sum of event value
+    (int cents) in (ts, event_id) order — one user-hash exchange,
+    per-partition sort + vectorized cumsum."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    num_parts = dataset_num_parts(ds, bytes_per_row=32, target_bytes=32 << 20)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        uid = np.asarray(b["user_id"], np.int64)
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(b["value"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "cents": cents,
+                "part": pa.array(uid % num_parts, pa.int64()),
+            }
+        )
+
+    def running(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "running_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return empty
+        g = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        g["running_cents"] = g.groupby("user_id", sort=False)[
+            "cents"
+        ].cumsum()
+        return pa.Table.from_pandas(
+            g[["event_id", "user_id", "cents", "running_cents"]].astype(
+                "int64"
+            ),
+            preserve_index=False,
+        )
+
+    return hash_exchange(
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "part",
+        running,
+        num_parts,
+    )
+
+
 def _q_tpch_late_orders(sf_dir: str):
     """Q4-style EXISTS semi-join aggregate: orders per priority with ≥1
     item shipped >90 days after the order date — existence resolved
@@ -1552,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_histogram": _q_dup_size_histogram,
         "top_quality_per_source": _q_top_quality_per_source,
         "tpch_late_orders": _q_tpch_late_orders,
+        "events_running_total": _q_events_running_total,
     }
 
 
@@ -2522,6 +2590,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # per-user running sum of int cents in (ts, event_id) order
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS running_cents
+            FROM events
         """,
         # Q4-style EXISTS: ≥1 item shipped >90 days after order date
         "tpch_late_orders": """

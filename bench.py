@@ -168,6 +168,7 @@ def run_suite() -> dict:
         "dup_size_histogram",
         "top_quality_per_source",
         "tpch_late_orders",
+        "events_running_total",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

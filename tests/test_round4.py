@@ -1387,3 +1387,35 @@ def test_top_per_group_ranked(ray_session):
     # ties on score break to smaller id: 2 then 3; doc 1 cut at k=2
     assert list(s.doc_id) == [2, 3]
     assert list(out[out.source == "t"].doc_id) == [4]
+
+
+def test_events_running_total(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    t0 = dt.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [t0, t0 + dt.timedelta(minutes=1),
+                 t0 + dt.timedelta(minutes=2), t0],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 4, pa.string()),
+            "value": pa.array([1.0, 2.5, 0.25, 9.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        entry.queries()["events_running_total"](str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(out.running_cents) == [100, 350, 375, 900]
