@@ -566,6 +566,54 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_users_per_event_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: distinct users per event type —
+    per-batch distinct (type, user) pairs ride the combiner shuffle
+    (bounded by types × users, never events), then a count per type."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "user_id": b["user_id"].to_pandas(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).groupby(["event_type", "user_id"]).count()
+    agg = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_users" not in b.column_names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n_users": pc.cast(b["n_users"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def _q_events_running_total(sf_dir: str):
     """Cumulative window aggregate: per-user running sum of event value
     (int cents) in (ts, event_id) order — one user-hash exchange,
@@ -1620,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_per_source": _q_top_quality_per_source,
         "tpch_late_orders": _q_tpch_late_orders,
         "events_running_total": _q_events_running_total,
+        "users_per_event_type": _q_users_per_event_type,
     }
 
 
@@ -2590,6 +2639,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # exact COUNT(DISTINCT user) per event type
+        "users_per_event_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1
         """,
         # per-user running sum of int cents in (ts, event_id) order
         "events_running_total": """

@@ -169,6 +169,7 @@ def run_suite() -> dict:
         "top_quality_per_source",
         "tpch_late_orders",
         "events_running_total",
+        "users_per_event_type",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs
