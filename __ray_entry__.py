@@ -566,6 +566,28 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_tpch_promo_share(sf_dir: str):
+    """Q14-style promo revenue share for 1997 shipments: the part dim
+    collapses to a (partkey → is_promo) int mapping through the lookup
+    tiers; share = one double division of two int64 revenue sums."""
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import promo_revenue_share
+
+    return promo_revenue_share(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+            ],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ),
+        year=1997,
+    )
+
+
 def _q_users_per_event_type(sf_dir: str):
     """Exact COUNT(DISTINCT) per group: distinct users per event type —
     per-batch distinct (type, user) pairs ride the combiner shuffle
@@ -1669,6 +1691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_late_orders": _q_tpch_late_orders,
         "events_running_total": _q_events_running_total,
         "users_per_event_type": _q_users_per_event_type,
+        "tpch_promo_share": _q_tpch_promo_share,
     }
 
 
@@ -2639,6 +2662,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # Q14-style promo share; two int sums, one double division
+        "tpch_promo_share": """
+            WITH r AS (
+                SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev,
+                       (p.p_type = 'PROMO')::BIGINT AS is_promo
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT sum(rev * is_promo)::BIGINT AS promo_rev,
+                   sum(rev)::BIGINT AS total_rev,
+                   100.0 * sum(rev * is_promo)::BIGINT
+                       / sum(rev)::BIGINT AS promo_share_pct
+            FROM r
         """,
         # exact COUNT(DISTINCT user) per event type
         "users_per_event_type": """

@@ -170,6 +170,7 @@ def run_suite() -> dict:
         "tpch_late_orders",
         "events_running_total",
         "users_per_event_type",
+        "tpch_promo_share",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs

@@ -510,3 +510,97 @@ def late_orders_by_priority(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def promo_revenue_share(
+    lineitem: Dataset,
+    part: Dataset,
+    year: int = 1997,
+) -> Dataset:
+    """Q14-style promo-revenue share for items shipped in ``year``:
+    the part dimension collapses to a (partkey → is_promo) int mapping
+    that attaches through the broadcast↔join lookup tiers, then one
+    combiner pass sums promo and total revenue (int64 cent·pct) —
+    the share is a single double division of those two sums.
+    → one row (promo_rev, total_rev, promo_share_pct)."""
+    from quichash_ray.stages.lookup import attach_lookup
+
+    lo = pd.Timestamp(f"{year}-01-01").to_datetime64()
+    hi = pd.Timestamp(f"{year + 1}-01-01").to_datetime64()
+
+    def part_flag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(b["p_partkey"], pa.int64()),
+                "is_promo": pc.cast(
+                    pc.equal(b["p_type"], "PROMO"), pa.int64()
+                ),
+            }
+        )
+
+    flags = part.map_batches(
+        part_flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi)),
+        )
+        t = b.filter(pc.fill_null(keep, False))
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_h = np.asarray(_cents(t["l_discount"]))
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "rev": pa.array(price_c * (100 - disc_h), pa.int64()),
+            }
+        )
+
+    revs = lineitem.map_batches(
+        li_rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    flagged = attach_lookup(
+        revs,
+        flags,
+        key_col="l_partkey",
+        value_col="is_promo",
+        out_col="is_promo",
+        key_col_in_mapping="p_partkey",
+        default=0,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"promo": pa.array([], pa.int64()),
+                 "total": pa.array([], pa.int64())}
+            )
+        rev = np.asarray(pc.cast(b["rev"], pa.int64()))
+        promo = np.asarray(pc.cast(b["is_promo"], pa.int64()))
+        return pa.table(
+            {
+                "promo": pa.array([int((rev * promo).sum())], pa.int64()),
+                "total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    sums = flagged.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).sum(["promo", "total"])
+    promo_rev = int(sums["sum(promo)"])
+    total_rev = int(sums["sum(total)"])
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "promo_rev": pa.array([promo_rev], pa.int64()),
+                "total_rev": pa.array([total_rev], pa.int64()),
+                "promo_share_pct": pa.array(
+                    [100.0 * promo_rev / total_rev if total_rev else None],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
