@@ -566,6 +566,73 @@ def _q_events_debounce(sf_dir: str):
     )
 
 
+def _q_suppliers_per_region(sf_dir: str):
+    """Dimension-chain aggregate: suppliers per region through the
+    nation → region dims (both tiny → driver dicts in the closure),
+    one combiner pass over supplier."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nat = {
+        int(r["n_nationkey"]): int(r["n_regionkey"])
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet"
+        ).take_all()
+    }
+    reg = {
+        int(r["r_regionkey"]): r["r_name"]
+        for r in ray.data.read_parquet(
+            f"{sf_dir}/region.parquet"
+        ).take_all()
+    }
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"r_name": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        names = (
+            pd.Series(pc.cast(b["s_nationkey"], pa.int64()).to_pandas())
+            .map(nat)
+            .map(reg)
+        )
+        vc = names.value_counts()
+        return pa.table(
+            {
+                "r_name": pa.array(vc.index.to_numpy(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype("int64")),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("r_name")
+        .aggregate(Sum("n", alias_name="n_suppliers"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_suppliers" not in b.column_names:
+            return pa.table(
+                {"r_name": pa.array([], pa.string()),
+                 "n_suppliers": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "r_name": b["r_name"],
+                "n_suppliers": pc.cast(b["n_suppliers"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def _q_tpch_promo_share(sf_dir: str):
     """Q14-style promo revenue share for 1997 shipments: the part dim
     collapses to a (partkey → is_promo) int mapping through the lookup
@@ -1692,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "users_per_event_type": _q_users_per_event_type,
         "tpch_promo_share": _q_tpch_promo_share,
+        "suppliers_per_region": _q_suppliers_per_region,
     }
 
 
@@ -2662,6 +2730,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        # supplier → nation → region dimension chain
+        "suppliers_per_region": """
+            SELECT r.r_name, count(*)::BIGINT AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1
         """,
         # Q14-style promo share; two int sums, one double division
         "tpch_promo_share": """

@@ -171,6 +171,7 @@ def run_suite() -> dict:
         "events_running_total",
         "users_per_event_type",
         "tpch_promo_share",
+        "suppliers_per_region",
     ]
     # warm the worker pool (untimed) so the first query doesn't absorb
     # process spin-up — same rationale as _warmup() on the scaling legs
