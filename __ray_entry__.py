@@ -825,13 +825,21 @@ def _q_chunk_documents(sf_dir: str):
 def _q_tpch_pricing_summary(sf_dir: str):
     """Q1-style pricing summary over lineitem — integer cents/percent
     products and sums (no float accumulation), combiner pattern over
-    the tiny (returnflag, linestatus) key space."""
+    the tiny (returnflag, linestatus) key space. Read pruned to the 7
+    touched columns of the 16-column fact table (at scale the unpruned
+    scan IS the query cost)."""
     import ray.data
 
     from quichash_ray.pipelines.analytics import pricing_summary
 
     return pricing_summary(
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+            ],
+        )
     )
 
 
@@ -1536,10 +1544,12 @@ def _q_similar_docs_topk(sf_dir: str):
     """Per-doc similar-document search: top-3 most similar docs by
     5-gram Jaccard among ≥1-shared-gram candidates — ranking by one
     double division of the same int64s on both sides (bit-identical),
-    ties to smaller other_id."""
+    ties to smaller other_id. gram_cap=None because the DuckDB oracle
+    computes UNCAPPED pair counts (same convention as ngram_jaccard /
+    containment_pairs)."""
     from quichash_ray.pipelines.ngram import similar_docs_topk
 
-    return similar_docs_topk(_docs(sf_dir), k_top=3)
+    return similar_docs_topk(_docs(sf_dir), k_top=3, gram_cap=None)
 
 
 def _q_hash_split(sf_dir: str):

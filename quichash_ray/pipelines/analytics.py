@@ -560,6 +560,9 @@ def promo_revenue_share(
     revs = lineitem.map_batches(
         li_rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    # default=None → missing partkeys surface as null is_promo, and the
+    # partial below DROPS them: inner-join semantics matching the oracle's
+    # JOIN part, rather than resting on FK integrity of the input
     flagged = attach_lookup(
         revs,
         flags,
@@ -567,10 +570,11 @@ def promo_revenue_share(
         value_col="is_promo",
         out_col="is_promo",
         key_col_in_mapping="p_partkey",
-        default=0,
+        default=None,
     )
 
     def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["is_promo"]))
         if b.num_rows == 0:
             return pa.table(
                 {"promo": pa.array([], pa.int64()),

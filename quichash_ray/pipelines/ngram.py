@@ -24,6 +24,7 @@ pathological boilerplate.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -77,7 +78,14 @@ def shingle_table(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> Dataset:
-    """→ (id, gram) — one row per distinct shingle per document."""
+    """→ (id, gram) — one row per distinct shingle per document.
+
+    Tokenizes with the RE2-equivalent ``[^ \\t\\n\\f\\r]+`` (NOT
+    ``str.split()``, which also splits on \\v and Unicode whitespace) so
+    the engine matches the DuckDB ``regexp_extract_all(text, '\\S+')``
+    oracles on non-ASCII whitespace (textstats.py:211 hazard note).
+    """
+    tok_re = re.compile(r"[^ \t\n\f\r]+")
 
     def kernel(b: pa.Table) -> pa.Table:
         ids_out: list[int] = []
@@ -85,7 +93,7 @@ def shingle_table(
         for rid, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
             if text is None:
                 continue
-            g = gram_hashes(text.split(), k)
+            g = gram_hashes(tok_re.findall(text), k)
             ids_out.extend([rid] * len(g))
             grams_out.append(g)
         grams = (

@@ -115,9 +115,15 @@ def mad_outliers(
         grp = pd.Series(t[group_col].to_pandas())
         med = grp.map({g: m for g, (m, _) in thresholds.items()})
         mad = grp.map({g: d for g, (_, d) in thresholds.items()})
+        # groups with no threshold (null group key, or all-null values —
+        # dropped by the histogram groupby) are excluded, not crashed on:
+        # the NaN→int64 cast below would otherwise raise ValueError
+        known = med.notna().to_numpy()
+        med = med.fillna(0)
+        mad = mad.fillna(0)
         v = np.asarray(t[value_col])
-        keep = np.abs(v - med.to_numpy(np.int64)) > k * mad.to_numpy(
-            np.int64
+        keep = known & (
+            np.abs(v - med.to_numpy(np.int64)) > k * mad.to_numpy(np.int64)
         )
         return t.filter(pa.array(keep))
 

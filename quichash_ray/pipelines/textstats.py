@@ -783,6 +783,12 @@ def rollup_stats(
     exactly — integer arithmetic, no re-scan per level. NULL marks an
     aggregated-out dimension, as SQL GROUPING SETS does.
 
+    NULL *data* values in a dimension are real groups (GROUPING SETS
+    semantics): they ride the shuffle as a sentinel string so pandas
+    groupby can't drop them, and decode back to NULL in the output —
+    which, like SQL without GROUPING(), renders a null data group and
+    an aggregated-out marker identically.
+
     → (dims[0], dims[1], n_docs, sum_<measure>) pa.Table.
     """
     import numpy as np
@@ -790,12 +796,13 @@ def rollup_stats(
     import pyarrow.compute as pc
 
     a, b = dims
+    _NULLDIM = "\x00<null-dim>"  # \x00 can't occur in real dim strings
 
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
-                a: t[a].to_pandas(),
-                b: t[b].to_pandas(),
+                a: t[a].to_pandas().fillna(_NULLDIM),
+                b: t[b].to_pandas().fillna(_NULLDIM),
                 "m": np.asarray(pc.cast(t[measure], pa.int64())),
             }
         )
@@ -843,10 +850,14 @@ def rollup_stats(
             g[missing] = None
         levels.append(g[[a, b, "n_docs", "sum_m"]])
     allrows = pd.concat(levels, ignore_index=True)
+
+    def _decode(vals: list) -> list:
+        return [None if v == _NULLDIM else v for v in vals]
+
     return pa.table(
         {
-            a: pa.array(allrows[a].tolist(), pa.string()),
-            b: pa.array(allrows[b].tolist(), pa.string()),
+            a: pa.array(_decode(allrows[a].tolist()), pa.string()),
+            b: pa.array(_decode(allrows[b].tolist()), pa.string()),
             "n_docs": pa.array(
                 allrows["n_docs"].to_numpy().astype("int64")
             ),
