@@ -770,6 +770,154 @@ def _q_events_running_total(sf_dir: str):
     )
 
 
+def _q_events_recent_topk(sf_dir: str):
+    """Dedup-by-recency window primitive: ROW_NUMBER() per user over
+    (ts DESC, event_id DESC), keep the 3 most recent events — one
+    user-hash exchange, vectorized per-partition sort + cumcount
+    (generalizes latest_snapshot to ranked retention)."""
+    import ray.data
+
+    from quichash_ray.pipelines.window import window_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id"],
+    )
+    return window_rank(
+        ds,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        descending=[True, True],
+        method="row_number",
+        out_col="rn",
+        keep_top=3,
+    ).select_columns(["user_id", "event_id", "rn"])
+
+
+def _q_events_value_rank(sf_dir: str):
+    """RANK() (ties share, gaps follow) per event type by value cents
+    DESC; keep rank ≤ 5 — tie definition is the int64 cents value on
+    both sides, so rank assignment is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from quichash_ray.pipelines.window import window_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "event_type": b["event_type"],
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(b["value"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return window_rank(
+        ds.map_batches(
+            to_cents, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        key_col="event_type",
+        order_cols=["cents"],
+        descending=[True],
+        carry_cols=["event_id"],
+        method="rank",
+        out_col="rnk",
+        keep_top=5,
+    ).select_columns(["event_type", "event_id", "cents", "rnk"])
+
+
+def _q_events_lag_delta(sf_dir: str):
+    """LAG window primitive: per-user previous event value (int cents)
+    in (ts, event_id) order plus the delta; each user's first event has
+    null prev/delta (genuine SQL LAG semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from quichash_ray.pipelines.window import window_lag
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts": b["ts"],
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(b["value"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return window_lag(
+        ds.map_batches(
+            to_cents, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        prev_col="prev_cents",
+        delta_col="delta_cents",
+    ).select_columns(
+        ["event_id", "user_id", "cents", "prev_cents", "delta_cents"]
+    )
+
+
+def _q_tpch_nation_pair_volume(sf_dir: str):
+    """Q7-style two-fact-chain query: revenue shipped between every
+    distinct (supplier nation, customer nation) pair in 1996–1997 —
+    chained multi-shuffle plan (two dim lookups + one orderkey
+    exchange), pruned reads, integer cents."""
+    import ray.data
+
+    from quichash_ray.pipelines.analytics import nation_pair_volume
+
+    return nation_pair_volume(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate",
+            ],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_nationkey"],
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        ray.data.read_parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def _q_tpch_late_orders(sf_dir: str):
     """Q4-style EXISTS semi-join aggregate: orders per priority with ≥1
     item shipped >90 days after the order date — existence resolved
@@ -1770,6 +1918,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_event_type": _q_users_per_event_type,
         "tpch_promo_share": _q_tpch_promo_share,
         "suppliers_per_region": _q_suppliers_per_region,
+        "events_recent_topk": _q_events_recent_topk,
+        "events_value_rank": _q_events_value_rank,
+        "events_lag_delta": _q_events_lag_delta,
+        "tpch_nation_pair_volume": _q_tpch_nation_pair_volume,
     }
 
 
@@ -2765,6 +2917,61 @@ def oracle_sql() -> dict[str, str]:
                    100.0 * sum(rev * is_promo)::BIGINT
                        / sum(rev)::BIGINT AS promo_share_pct
             FROM r
+        """,
+        # 3 most recent events per user: ROW_NUMBER() over total order
+        "events_recent_topk": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        # RANK() per event type by int64 cents DESC, rank <= 5
+        "events_value_rank": """
+            SELECT event_type, event_id, cents, rnk FROM (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       RANK() OVER (
+                           PARTITION BY event_type
+                           ORDER BY CAST(round(value * 100) AS BIGINT) DESC
+                       ) AS rnk
+                FROM events
+            ) WHERE rnk <= 5
+        """,
+        # LAG(cents) per user in (ts, event_id) order + delta
+        "events_lag_delta": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   LAG(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_cents,
+                   CAST(round(value * 100) AS BIGINT)
+                       - LAG(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS delta_cents
+            FROM events
+        """,
+        # Q7-style nation-pair shipping volume, 1996-1997, integer cents
+        "tpch_nation_pair_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   )::BIGINT AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            WHERE sn.n_name <> cn.n_name
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
         """,
         # exact COUNT(DISTINCT user) per event type
         "users_per_event_type": """

@@ -608,3 +608,193 @@ def promo_revenue_share(
             }
         )
     )
+
+
+def nation_pair_volume(
+    lineitem: Dataset,
+    orders: Dataset,
+    supplier: Dataset,
+    customer: Dataset,
+    nation: Dataset,
+    ship_lo: str = "1996-01-01",
+    ship_hi: str = "1998-01-01",
+    num_parts: int | None = None,
+) -> Dataset:
+    """Q7-style two-fact-chain volume shipping: revenue between every
+    ordered (supplier nation, customer nation) pair with
+    supp_nation ≠ cust_nation, for items shipped in [ship_lo, ship_hi).
+
+    Chained multi-shuffle plan, size-tiered like :func:`revenue_by_nation`:
+
+    1. lineitem projection (orderkey, suppkey, rev cents) gets
+       ``s_nationkey`` through the broadcast↔co-partitioned lookup
+       (inner semantics: unknown suppkeys drop, matching the oracle's
+       JOIN supplier);
+    2. orders projection (orderkey, custkey) gets ``c_nationkey`` the
+       same way;
+    3. the big×big lineitem⨝orders leg is ONE orderkey-hash exchange
+       over the union of both annotated projections — each partition
+       joins locally and emits (supp_nat, cust_nat, rev, n) partials
+       bounded by the 25×25 nation-pair space;
+    4. a pair-space groupby finishes the sums; nation names come from
+       the 25-row driver dict.
+
+    → (supp_nation, cust_nation, revenue, n_items); revenue in
+    cent·percent units (price_cents × (100 − disc_pct)), integer-exact.
+    """
+    from quichash_ray.stages.exchange import hash_exchange
+    from quichash_ray.stages.lookup import attach_lookup
+    from quichash_ray.stages.partitioning import dataset_num_parts
+
+    lo = pd.Timestamp(ship_lo).to_datetime64()
+    hi = pd.Timestamp(ship_hi).to_datetime64()
+    if num_parts is None:
+        num_parts = dataset_num_parts(
+            lineitem, bytes_per_row=24, target_bytes=32 << 20
+        )
+
+    def l_project(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+            pc.less(b["l_shipdate"], pa.scalar(hi)),
+        )
+        t = b.filter(pc.fill_null(keep, False))
+        price_c = np.asarray(_cents(t["l_extendedprice"]))
+        disc_h = np.asarray(_cents(t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "rev": pa.array(price_c * (100 - disc_h), pa.int64()),
+            }
+        )
+
+    li = lineitem.map_batches(
+        l_project, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    li = attach_lookup(
+        li,
+        supplier,
+        key_col="l_suppkey",
+        value_col="s_nationkey",
+        out_col="supp_nat",
+        key_col_in_mapping="s_suppkey",
+        default=None,
+    )
+
+    o = orders.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    o = attach_lookup(
+        o,
+        customer,
+        key_col="o_custkey",
+        value_col="c_nationkey",
+        out_col="cust_nat",
+        key_col_in_mapping="c_custkey",
+        default=None,
+    )
+
+    def l_side(b: pa.Table) -> pa.Table:
+        # inner-join semantics: drop rows whose suppkey missed the dim
+        t = b.filter(pc.is_valid(b["supp_nat"]))
+        key = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(t["supp_nat"], pa.int64()),
+                "rev": pc.cast(t["rev"], pa.int64()),
+                "part": pa.array(np.asarray(key) % num_parts, pa.int64()),
+            }
+        )
+
+    def o_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["cust_nat"]))
+        key = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(t["cust_nat"], pa.int64()),
+                "rev": pa.nulls(t.num_rows, pa.int64()),  # marker: order row
+                "part": pa.array(np.asarray(key) % num_parts, pa.int64()),
+            }
+        )
+
+    tagged = li.map_batches(
+        l_side, batch_format="pyarrow", batch_size=None
+    ).union(
+        o.map_batches(o_side, batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "supp_nat": pa.array([], pa.int64()),
+                "cust_nat": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0 or "key" not in g.column_names:
+            return empty
+        df = g.to_pandas()
+        is_order = df["rev"].isna()
+        omap = df.loc[is_order, ["key", "nat"]].rename(
+            columns={"nat": "cust_nat"}
+        )
+        li_rows = df[~is_order].merge(omap, on="key")
+        if len(li_rows) == 0:
+            return empty
+        out = (
+            li_rows.groupby(["nat", "cust_nat"], sort=False)
+            .agg(rev=("rev", "sum"), n=("rev", "size"))
+            .reset_index()
+            .rename(columns={"nat": "supp_nat"})
+        )
+        return pa.Table.from_pandas(
+            out.astype("int64"), preserve_index=False
+        )
+
+    partials = hash_exchange(tagged, "part", join_pairs, num_parts)
+    agg = partials.groupby(["supp_nat", "cust_nat"]).sum(["rev", "n"])
+
+    # nation is a 25-row dimension — driver dict by contract
+    nmap = {int(r["n_nationkey"]): r["n_name"] for r in nation.take_all()}
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "revenue": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0 or "sum(rev)" not in b.column_names:
+            return empty
+        sn = np.asarray(b["supp_nat"], np.int64)
+        cn = np.asarray(b["cust_nat"], np.int64)
+        keep = sn != cn
+        sname = pd.Series(sn[keep]).map(nmap)
+        cname = pd.Series(cn[keep]).map(nmap)
+        return pa.table(
+            {
+                "supp_nation": pa.array(sname.to_numpy(), pa.string()),
+                "cust_nation": pa.array(cname.to_numpy(), pa.string()),
+                "revenue": pc.cast(
+                    pa.array(np.asarray(b["sum(rev)"])[keep]), pa.int64()
+                ),
+                "n_items": pc.cast(
+                    pa.array(np.asarray(b["sum(n)"])[keep]), pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
