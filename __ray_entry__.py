@@ -1296,11 +1296,14 @@ def _q_multimodal_video_frames(sf_dir: str):
 def _q_embedding_recall_report(sf_dir: str):
     """OR-amplified multi-band hyperplane LSH vs exact cosine pairs —
     one-row recall report (recall_bp = basis points). The pytest gate
-    holds recall ≥ 0.9 at this config."""
+    holds recall ≥ 0.9 at this config. Exact truth is bounded to a
+    512-query md5-order sample (n_query_sample in-row): O(sample·n),
+    not O(n²) — the 100-TB-affordable recall estimate."""
     from quichash_ray.pipelines.similarity import embedding_recall_report
 
     return embedding_recall_report(
-        _emb(sf_dir), threshold=0.4, num_planes=4, num_bands=16
+        _emb(sf_dir), threshold=0.4, num_planes=4, num_bands=16,
+        sample_queries=512,
     )
 
 
@@ -1325,11 +1328,13 @@ def _q_ivf_recall_report(sf_dir: str):
     cosine pairs — one-row recall report. Second ANN scale path beside the
     hyperplane-LSH one; at the loose test threshold (0.4) nprobe=4/16
     cells reaches recall ≥0.98, production near-dup thresholds (≥0.85)
-    need nprobe 1-2."""
+    need nprobe 1-2. Exact truth bounded to a 512-query md5-order
+    sample (n_query_sample in-row), as in embedding_recall_report."""
     from quichash_ray.pipelines.similarity import embedding_recall_report
 
     return embedding_recall_report(
-        _emb(sf_dir), threshold=0.4, method="ivf", nlist=16, nprobe=4
+        _emb(sf_dir), threshold=0.4, method="ivf", nlist=16, nprobe=4,
+        sample_queries=512,
     )
 
 

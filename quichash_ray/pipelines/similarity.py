@@ -143,6 +143,7 @@ def cosine_neardup_pairs(
     a_limit: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    a_ids: "np.ndarray | None" = None,
 ) -> Dataset:
     """Embedding near-dup pairs: (a, b) with a < b (a < a_limit when given)
     and cosine(a, b) >= threshold → (vec_id_a, vec_id_b).
@@ -151,12 +152,41 @@ def cosine_neardup_pairs(
     tasks into plasma; each b-side batch loops over the a-block refs with
     zero-copy gets. No driver materialization, no per-row lambdas, no
     shuffle. At 10^9+ vectors switch to ``lsh_bucketed_neardup``.
+
+    ``a_ids`` restricts the a-side to a fixed id set (the sampled-query
+    budget of :func:`embedding_recall_report`): enumeration becomes
+    SYMMETRIC (every partner of a sampled id, not just larger ids) with
+    canonical (min, max) output, and cost drops from O(n²) to
+    O(|a_ids|·n). A pair with BOTH endpoints sampled is emitted twice —
+    consumers of this mode (the recall reports) collect into sets.
     """
     import ray
 
-    a_side = (
-        ds if a_limit is None else ds.filter(expr=f"{id_col} < {a_limit}")
-    )
+    symmetric = a_ids is not None
+    if symmetric:
+        sample_sorted = np.sort(np.asarray(a_ids, dtype=np.int64))
+
+        def keep_sampled(b: pa.Table) -> pa.Table:
+            col = np.asarray(b[id_col], dtype=np.int64)
+            if len(sample_sorted) == 0:
+                return b.slice(0, 0)
+            pos = np.clip(
+                np.searchsorted(sample_sorted, col),
+                0,
+                len(sample_sorted) - 1,
+            )
+            return b.filter(pa.array(sample_sorted[pos] == col))
+
+        a_side = ds.map_batches(
+            keep_sampled,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        )
+    else:
+        a_side = (
+            ds if a_limit is None else ds.filter(expr=f"{id_col} < {a_limit}")
+        )
     a_refs = _normalized_block_refs(a_side, id_col, emb_col)
 
     def find_pairs(batch: pa.Table) -> pa.Table:
@@ -189,13 +219,18 @@ def cosine_neardup_pairs(
                     sims = np.matmul(
                         am_c, vs.T, out=buf[: len(ia_c), : len(vi)]
                     )
-                    hit_a, hit_b = np.nonzero(
-                        (sims >= threshold) & (ia_c[:, None] < vi[None, :])
+                    cmp = (
+                        (ia_c[:, None] != vi[None, :])
+                        if symmetric
+                        else (ia_c[:, None] < vi[None, :])
                     )
+                    hit_a, hit_b = np.nonzero((sims >= threshold) & cmp)
                     out_a.append(ia_c[hit_a])
                     out_b.append(vi[hit_b])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        if symmetric:
+            a, b = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {
                 "vec_id_a": pa.array(a, pa.int64()),
@@ -857,20 +892,66 @@ def ivf_knn(
     )
 
 
+def _md5_bottomk_ids(ds: Dataset, id_col: str, k: int) -> np.ndarray:
+    """The ``k`` ids with smallest (md5(str(id)), id) — the hash_sample
+    discipline (deterministic across runs/partitionings, no RNG), as a
+    distributed partial-bottom-k: each block contributes ≤k candidates,
+    the driver merge holds blocks×k tiny rows."""
+    from quichash_ray.pipelines.sampling import _md5_hex
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        keys = _md5_hex(ids)
+        order = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))[:k]
+        return pa.table(
+            {
+                id_col: pa.array([ids[i] for i in order], pa.int64()),
+                "skey": pa.array([keys[i] for i in order], pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()
+    rows.sort(key=lambda r: (r["skey"], r[id_col]))
+    return np.array([r[id_col] for r in rows[:k]], np.int64)
+
+
 def embedding_recall_report(
     ds: Dataset,
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     method: str = "lsh",
+    sample_queries: int | None = None,
     **ann_kwargs,
 ) -> pa.Table:
     """One-row report: exact vs ANN (``method``: lsh | ivf) near-dup pair
     counts and recall.
 
     recall_bp is integer basis points (e.g. 9500 = 95.00%) so the value is
-    hash-stable across shuffle orders."""
-    exact = cosine_neardup_pairs(ds, threshold, id_col=id_col, emb_col=emb_col)
+    hash-stable across shuffle orders.
+
+    ``sample_queries`` bounds the exact-truth side to the md5-order
+    bottom-k sampled query ids (documented in-row as n_query_sample):
+    exact pairs are enumerated only where ≥1 endpoint is sampled —
+    O(sample·n) instead of O(n²) — and the ANN pair set is filtered to
+    the same support, so recall_bp is the recall ON SAMPLED QUERIES (an
+    estimate of full pair recall; at 10^7+ vectors the full exact truth
+    is unaffordable by design). n_query_sample=0 means full truth.
+
+    The exact and ANN pipelines are independent — they are consumed
+    concurrently so report wall-time is max(), not sum(), of the sides.
+    """
+    sample = (
+        _md5_bottomk_ids(ds, id_col, sample_queries)
+        if sample_queries
+        else None
+    )
+    exact = cosine_neardup_pairs(
+        ds, threshold, id_col=id_col, emb_col=emb_col, a_ids=sample
+    )
     ann_fn = lsh_bucketed_neardup if method == "lsh" else ivf_bucketed_neardup
     lsh = ann_fn(
         ds, threshold, id_col=id_col, emb_col=emb_col, **ann_kwargs
@@ -887,8 +968,15 @@ def embedding_recall_report(
             )
         return out
 
-    e = pair_set(exact)
-    l = pair_set(lsh)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_e = pool.submit(pair_set, exact)
+        fut_l = pool.submit(pair_set, lsh)
+        e, l = fut_e.result(), fut_l.result()
+    if sample is not None:
+        sset = set(sample.tolist())
+        l = {p for p in l if p[0] in sset or p[1] in sset}
     common = len(e & l)
     recall_bp = (10000 * common) // len(e) if e else 10000
     return pa.table(
@@ -897,6 +985,9 @@ def embedding_recall_report(
             "n_lsh": pa.array([len(l)], pa.int64()),
             "n_common": pa.array([common], pa.int64()),
             "recall_bp": pa.array([recall_bp], pa.int64()),
+            "n_query_sample": pa.array(
+                [len(sample) if sample is not None else 0], pa.int64()
+            ),
         }
     )
 

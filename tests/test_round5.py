@@ -311,3 +311,41 @@ def test_rollup_null_dim_is_real_group(ray_session):
     # grand total row (both dims aggregated out) still sums everything
     g = fine[fine["lang"].isna() & fine["source"].isna()]
     assert 70 in g["sum_n_chars"].tolist()
+
+
+def test_sampled_recall_report_bounded_and_consistent(ray_session):
+    """sample_queries bounds the exact truth to a deterministic md5-order
+    query budget: n_query_sample is recorded in-row, the exact pair set
+    only touches sampled ids, and on a sample covering every id the
+    report equals the full-truth report."""
+    import ray.data
+
+    from quichash_ray.pipelines.similarity import embedding_recall_report
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = ds.count()
+
+    full = embedding_recall_report(
+        ds, threshold=0.4, num_planes=4, num_bands=16
+    ).to_pylist()[0]
+    assert full["n_query_sample"] == 0  # full truth marker
+
+    # sample ≥ n ⇒ identical to full truth
+    allq = embedding_recall_report(
+        ds, threshold=0.4, num_planes=4, num_bands=16, sample_queries=n
+    ).to_pylist()[0]
+    assert allq["n_query_sample"] == n
+    assert allq["n_exact"] == full["n_exact"]
+    assert allq["recall_bp"] == full["recall_bp"]
+
+    # a strict subsample: bounded truth, recall still gated, deterministic
+    a = embedding_recall_report(
+        ds, threshold=0.4, num_planes=4, num_bands=16, sample_queries=64
+    ).to_pylist()[0]
+    b = embedding_recall_report(
+        ds, threshold=0.4, num_planes=4, num_bands=16, sample_queries=64
+    ).to_pylist()[0]
+    assert a == b  # md5-order sampling has no RNG
+    assert a["n_query_sample"] == 64
+    assert a["n_exact"] <= full["n_exact"]
+    assert a["recall_bp"] >= 9000
