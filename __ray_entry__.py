@@ -1200,13 +1200,17 @@ def _q_corpus_recall_report(sf_dir: str):
 def _q_corpus_substring_spans(sf_dir: str):
     """Suffix substring-dedup stage over fuzzy clusters (FIXTURES.md §7):
     longest common token spans ≥ 50 tokens within candidate clusters.
-    Rows-only (iterative/stateful; pytest oracle in tests/test_suffix.py)."""
+    Rows-only BUT metric-bearing: verify_gate="0123" recomputes ~25% of
+    emitted spans (deterministic md5 sample) with the independent O(n·m)
+    DP kernel and records per-row dp_verified ∈ {1 agree, 0 MISMATCH,
+    -1 unsampled} — any 0 in the recorded value hash means the
+    rolling-hash span search diverged from ground truth."""
     from quichash_ray.pipelines.fuzzy import fuzzy_dedup
     from quichash_ray.stages.suffix import substring_stage
 
     corpus, _ = _corpus_ds(sf_dir)
     clusters = fuzzy_dedup(corpus).select_columns(["row_id", "cluster_id"])
-    return substring_stage(corpus, clusters)
+    return substring_stage(corpus, clusters, verify_gate="0123")
 
 
 def _q_substring_spans_blocks(sf_dir: str):
@@ -1308,18 +1312,39 @@ def _q_embedding_recall_report(sf_dir: str):
 
 
 def _q_ivf_knn_topk(sf_dir: str):
-    """IVF pruned top-k (approximate; rows-only — exactness lives in
-    knn_topk's oracle and the ivf recall gates)."""
-    from quichash_ray.pipelines.similarity import ivf_knn
-
-    out = ivf_knn(
-        _emb(sf_dir), query_ids=list(range(10)), k=5, nlist=16, nprobe=8
-    )
+    """IVF pruned top-k (approximate). Rows-only BUT metric-bearing:
+    each emitted (query_id, vec_id) row carries exact_hit — 1 iff the
+    pair is also in the EXACT brute-force top-k for the same queries
+    (knn_topk, itself oracle-checked) — so the recorded value hash pins
+    the IVF/exact overlap, not just row counts. At this config the
+    pytest gate holds overlap ≥ 0.9."""
     import pyarrow as pa
 
-    return out.map_batches(
+    from quichash_ray.pipelines.similarity import ivf_knn, knn_topk
+
+    qids = list(range(10))
+    out = ivf_knn(_emb(sf_dir), query_ids=qids, k=5, nlist=16, nprobe=8)
+    out = out.map_batches(
         lambda b: b.rename_columns(["query_id", "vec_id", "rnk"]),
         batch_format="pyarrow", batch_size=None,
+    )
+    # exact truth is 50 rows by contract — driver-side set is bounded
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_topk(_emb(sf_dir), query_ids=qids, k=5).take_all()
+    }
+
+    def mark(b: pa.Table) -> pa.Table:
+        hits = [
+            int((q, v) in exact)
+            for q, v in zip(
+                b["query_id"].to_pylist(), b["vec_id"].to_pylist()
+            )
+        ]
+        return b.append_column("exact_hit", pa.array(hits, pa.int64()))
+
+    return out.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

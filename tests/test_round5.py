@@ -349,3 +349,55 @@ def test_sampled_recall_report_bounded_and_consistent(ray_session):
     assert a["n_query_sample"] == 64
     assert a["n_exact"] <= full["n_exact"]
     assert a["recall_bp"] >= 9000
+
+
+def test_ivf_knn_topk_exact_hit_gate(ray_session):
+    """The driver query's in-row exact_hit column: every row marked, and
+    IVF/exact top-k overlap ≥ 0.9 at the registered config."""
+    import __ray_entry__ as e
+
+    t = e.queries()["ivf_knn_topk"]("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 50
+    assert set(t["exact_hit"]) <= {0, 1}
+    assert t["exact_hit"].mean() >= 0.9
+
+
+def test_substring_spans_dp_verified_no_mismatch(ray_session):
+    """verify_gate spans: the sampled DP recomputation must agree with the
+    rolling-hash search on every sampled pair (dp_verified has no zeros),
+    and the un-gated call keeps the original 4-column schema."""
+    import ray.data
+
+    from quichash_ray.stages.suffix import _lcs_dp, substring_spans
+    import numpy as np
+    import pyarrow as pa
+
+    # kernel sanity on a known case
+    a = np.array([1, 2, 3, 4, 5, 9], np.uint64)
+    b = np.array([7, 2, 3, 4, 8], np.uint64)
+    assert _lcs_dp(a, b) == 3
+
+    rows = pa.table(
+        {
+            "row_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "cluster_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "content": pa.array(
+                [
+                    "a b c d e f g h",
+                    "z a b c d e f q",
+                    "one two three four five",
+                    "six one two three four",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    from quichash_ray.config import FuzzyConfig
+
+    cfg = FuzzyConfig(suffix_min_span_tokens=3)
+    gated = substring_spans(ds, cfg, verify_gate="0123456789abcdef")
+    out = gated.to_pandas()
+    assert len(out) == 2
+    assert (out["dp_verified"] == 1).all()  # full gate ⇒ all sampled, all agree
+    plain = substring_spans(ds, cfg).to_pandas()
+    assert list(plain.columns) == ["cluster_id", "id_a", "id_b", "span_tokens"]
