@@ -32,17 +32,33 @@ default 32768 — the measured flat↔two-level crossover band, see
 - only when even S would be tiny (pathological block counts) → the
   Dataset-native sort-groupby streaming shuffle.
 
-GIANT regime (round-4): both split/merge shapes ``materialize()`` their
-input first — fine when the exchanged rows are post-projection key/id
-tuples (1-3% of corpus bytes), but at 100-TB corpus scale even 1% is
-~1 TB of plasma residency per exchange. Since every caller derives
-``num_parts`` from its row count via ``choose_num_parts`` (64 MB/part
-target), ``num_parts`` is itself the input-size signal: at or above
-``QUICHASH_EXCHANGE_STREAM_PARTS`` (default 4096 ≈ 256 GB of exchanged
-rows) the exchange routes to the Dataset-native sort-groupby shuffle on
-the LAZY inputs — fully streaming, spill handled by Ray's shuffle, no
-up-front materialization. Single-node runs never reach 4096 parts, so
-the measured-faster raw-task path still serves the local/mid regime.
+GIANT regime (round-4): at 100-TB corpus scale even post-projection key
+rows are ~1 TB of plasma residency per exchange. Since every caller
+derives ``num_parts`` from its row count via ``choose_num_parts`` (64
+MB/part target), ``num_parts`` is itself the input-size signal: at or
+above ``QUICHASH_EXCHANGE_STREAM_PARTS`` (default 4096 ≈ 256 GB of
+exchanged rows) the exchange routes to the Dataset-native sort-groupby
+shuffle on the LAZY inputs — fully streaming, spill handled by Ray's
+shuffle, no up-front materialization. Single-node runs never reach 4096
+parts, so the measured-faster raw-task path still serves the local/mid
+regime.
+
+STREAMING SPLIT (round-5): below the giant threshold, LAZY inputs no
+longer ``materialize()`` before splitting. Block refs are pulled from
+the streaming topology (``iter_internal_ref_bundles``) and each block's
+split task launches AS THE BLOCK LANDS, after which the exchange drops
+its input ref — Ray frees the block the moment its split completes, so
+peak plasma residency is ~1× the input (as split slices awaiting merge)
+instead of the old 2× (full materialized input + its slices). Because
+the block count is unknown until the stream ends, the streaming path
+commits upfront to the two-level shape with S = min(num_parts,
+2×CPUs) range-partitions (S=num_parts degenerates to the flat shape;
+object count stays B×S ≤ B×2×CPUs, linear in blocks — the giant-parts
+guard above routes anything big enough for that to matter to the sort
+shuffle first). Inputs the CALLER already materialized keep the exact
+budget-based flat/two-level/sort choice over their known block refs —
+their residency is the caller's, and the measured crossovers stay
+honored where block counts are actually known.
 
 Callers never pass the flag; ``use_sort_groupby=True`` remains as the
 explicit semantics reference used by the equivalence tests.
@@ -85,7 +101,8 @@ def _stream_parts() -> int:
 
 
 # driver-side observability: the regime the last hash_exchange call chose
-# ("split" | "sort") — read by tests and lineage, never by control flow
+# ("split" | "split2" | "stream" | "sort") — read by tests and lineage,
+# never by control flow
 _LAST_REGIME: str | None = None
 
 
@@ -189,13 +206,44 @@ def hash_exchange(
             return fn(empty)
         return fn(pa.concat_tables(live, promote_options="default"))
 
-    mats = [ds.materialize() for ds in ds_list]
+    from ray.data.dataset import MaterializedDataset
+
+    global _LAST_REGIME
+
+    if not all(isinstance(d, MaterializedDataset) for d in ds_list):
+        # STREAMING SPLIT (module docstring): lazy input — launch one
+        # split task per block as the streaming executor emits it and
+        # drop the input ref immediately; never hold the whole projected
+        # input in plasma. Block count is unknown upfront, so commit to
+        # the two-level shape with a CPU-derived S (S=num_parts is the
+        # flat shape; objects stay linear in blocks).
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        S = int(min(max(2, num_parts), max(2 * n_cpus, 4)))
+        split_super, merge_super = _two_level_tasks(
+            part_col, fn, max(2, num_parts), S, drop_part
+        )
+        split_refs = []
+        for d in ds_list:
+            for bundle in d.iter_internal_ref_bundles():
+                for bref in bundle.block_refs:
+                    split_refs.append(
+                        split_super.options(num_returns=S).remote(bref)
+                    )
+        if not split_refs:
+            return ray.data.from_arrow(fn(_empty_like(ds_list[0])))
+        _LAST_REGIME = "stream"
+        merged = [
+            merge_super.remote(s, *[sr[s] for sr in split_refs])
+            for s in range(S)
+        ]
+        return ray.data.from_arrow_refs(merged)
+
+    mats = ds_list  # already materialized by the caller
     refs: list = []
     for m in mats:
         refs.extend(m.to_arrow_refs())
     if not refs:
         return ray.data.from_arrow(fn(_empty_like(ds_list[0])))
-    global _LAST_REGIME
     budget = _max_objects()
     if use_sort_groupby is None and len(refs) * num_parts > budget:
         # over the object budget: try the two-level shape — S super-
@@ -222,28 +270,31 @@ def hash_exchange(
     return ray.data.from_arrow_refs(merged)
 
 
-def _two_level_exchange(
-    refs: list,
+def _two_level_tasks(
     part_col: str,
     fn: Callable[[pa.Table], pa.Table],
     num_parts: int,
     num_super: int,
     drop_part: bool,
 ):
-    """Two-level split/merge: level 1 routes rows to ``num_super``
-    contiguous partition RANGES (B × S objects); the level-2 task for a
-    range holds every row of its partitions, so it applies ``fn`` per
-    final partition locally and emits one concatenated result block —
-    no third hop. Equivalent to the flat exchange for any per-partition
-    ``fn``; result has ``num_super`` blocks instead of ``num_parts``.
+    """Build the (split_super, merge_super) remote task pair for a
+    two-level exchange: level 1 routes rows to ``num_super`` contiguous
+    partition RANGES (B × S objects); the level-2 task for a range holds
+    every row of its partitions, so it applies ``fn`` per final partition
+    locally and emits one concatenated result block — no third hop.
+    Equivalent to the flat exchange for any per-partition ``fn``; result
+    has ``num_super`` blocks instead of ``num_parts``.
     """
     import ray
-    import ray.data
 
     P, S = num_parts, num_super
 
     @ray.remote
     def split_super(t: pa.Table):
+        if not isinstance(t, pa.Table):
+            # streaming path hands raw blocks — schema-less empty blocks
+            # surface as pandas (same coercion as split_block)
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows == 0 or part_col not in t.column_names:
             empty = t.slice(0, 0)
             return (empty,) * S if S > 1 else (empty,)
@@ -289,6 +340,24 @@ def _two_level_exchange(
         ]
         return pa.concat_tables(outs, promote_options="default")
 
+    return split_super, merge_super
+
+
+def _two_level_exchange(
+    refs: list,
+    part_col: str,
+    fn: Callable[[pa.Table], pa.Table],
+    num_parts: int,
+    num_super: int,
+    drop_part: bool,
+):
+    """Two-level split/merge over known block refs (see _two_level_tasks)."""
+    import ray.data
+
+    S = num_super
+    split_super, merge_super = _two_level_tasks(
+        part_col, fn, num_parts, S, drop_part
+    )
     global _LAST_REGIME
     _LAST_REGIME = "split2"
     split_refs = [

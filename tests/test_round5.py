@@ -401,3 +401,77 @@ def test_substring_spans_dp_verified_no_mismatch(ray_session):
     assert (out["dp_verified"] == 1).all()  # full gate ⇒ all sampled, all agree
     plain = substring_spans(ds, cfg).to_pandas()
     assert list(plain.columns) == ["cluster_id", "id_a", "id_b", "span_tokens"]
+
+
+def test_hash_exchange_streaming_split_lazy_input(ray_session):
+    """Lazy (un-materialized) inputs take the round-5 streaming split —
+    one split task per block as it lands, no whole-input materialize —
+    and produce results identical to the materialized flat path and to
+    sort-groupby. Empty-block and list-input shapes included."""
+    import ray.data
+
+    from quichash_ray.stages import exchange
+    from quichash_ray.stages.exchange import hash_exchange
+
+    rng = np.random.default_rng(55)
+    n, P = 20_000, 13
+    t = pa.table(
+        {
+            "part": pa.array(rng.integers(0, P, n), pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+        }
+    )
+
+    def agg(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"s": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        v = np.asarray(g["v"], np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(v.sum())], pa.int64()),
+                "c": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    blocks = [t.slice(i * 1000, 1000) for i in range(20)]
+
+    def lazy():
+        # a map_batches stage keeps the dataset un-materialized
+        return ray.data.from_arrow(blocks).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None
+        )
+
+    out_stream = hash_exchange(lazy(), "part", agg, P).to_pandas()
+    assert exchange._LAST_REGIME == "stream"
+    out_flat = hash_exchange(
+        ray.data.from_arrow(blocks).materialize(), "part", agg, P
+    ).to_pandas()
+    assert exchange._LAST_REGIME == "split"
+    out_sort = hash_exchange(
+        lazy(), "part", agg, P, use_sort_groupby=True
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["s", "c"]].to_numpy().tolist()))
+    assert key(out_stream) == key(out_flat) == key(out_sort)
+    assert sum(c for _, c in key(out_stream)) == n
+
+    # list input, one leg lazy -> still streaming, still exact
+    half = ray.data.from_arrow(blocks[:10]).materialize()
+    rest = lazy_rest = ray.data.from_arrow(blocks[10:]).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=None
+    )
+    out_list = hash_exchange([half, rest], "part", agg, P).to_pandas()
+    assert exchange._LAST_REGIME == "stream"
+    assert key(out_list) == key(out_flat)
+
+    # drop_part=False keeps the partition column visible to fn
+    def check_part(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {"has": pa.array([int("part" in g.column_names)], pa.int64())}
+        )
+
+    out_keep = hash_exchange(
+        lazy(), "part", check_part, P, drop_part=False
+    ).to_pandas()
+    assert (out_keep["has"] == 1).all()
